@@ -1,0 +1,229 @@
+"""Configuration tree for lsfa_tpu.
+
+Mirrors the knob inventory of the reference config system
+(reference: dff_rfcn/config/config.py:18-209) — a single nested tree with
+hard defaults, strict YAML overlay (unknown keys raise), and derived
+network fields — reimplemented as a small attribute-dict without the
+easydict dependency.
+
+TPU-specific additions live under ``cfg.tpu`` (shape bucketing, mesh axes,
+compute dtype); they have no reference counterpart.
+"""
+
+from __future__ import annotations
+
+import copy
+
+import numpy as np
+import yaml
+
+
+class AttrDict(dict):
+    """dict with attribute access; nested dicts are converted on insert."""
+
+    def __init__(self, d=None):
+        super().__init__()
+        if d:
+            for k, v in d.items():
+                self[k] = v
+
+    def __setitem__(self, k, v):
+        if isinstance(v, dict) and not isinstance(v, AttrDict):
+            v = AttrDict(v)
+        super().__setitem__(k, v)
+
+    def __setattr__(self, k, v):
+        self[k] = v
+
+    def __getattr__(self, k):
+        try:
+            return self[k]
+        except KeyError as e:
+            raise AttributeError(k) from e
+
+    def copy(self):
+        return copy.deepcopy(self)
+
+
+def get_default_config() -> AttrDict:
+    """Default config. Field-for-field superset of the reference defaults
+    (dff_rfcn/config/config.py:18-168) plus the ``tpu`` section."""
+    c = AttrDict()
+    c.output_path = "./output"
+    c.symbol = "lsfa"
+    c.CLASS_AGNOSTIC = True
+    # first entry: (short side target, long side cap) — reference SCALES
+    c.SCALES = [(600, 1000)]
+
+    c.default = AttrDict()
+    c.default.frequent = 20
+
+    n = c.network = AttrDict()
+    n.pretrained = ""
+    n.pretrained_flow = ""
+    n.nettype = "resnet"
+    n.num_layer = 101
+    n.pretrained_epoch = 0
+    n.PIXEL_MEANS = [0.0, 0.0, 0.0]
+    n.PIXEL_SCALE = 1.0
+    n.IMAGE_STRIDE = 0
+    n.RPN_FEAT_STRIDE = 16
+    n.RCNN_FEAT_STRIDE = 16
+    n.FIXED_PARAMS = ["gamma", "beta"]
+    n.ANCHOR_SCALES = (8, 16, 32)
+    n.ANCHOR_RATIOS = (0.5, 1, 2)
+    n.NORMALIZE_RPN = True
+    n.ANCHOR_MEANS = (0.0, 0.0, 0.0, 0.0)
+    n.ANCHOR_STDS = (0.1, 0.1, 0.4, 0.4)
+    n.NUM_ANCHORS = 9
+    n.DFF_FEAT_DIM = 1024
+    # LSFA switches (reference config.py:52-63)
+    n.rnet_num_conv = 2
+    n.fnet_type = "res"          # 'res' | 'conv#N'
+    n.fuse_type = "add"          # 'add' | 'concat'
+    n.res_diff_bn = False
+    n.add_dcn = False
+    n.add_small_net = True
+    n.small_net_bn_before_fuse = False
+    n.small_net_scale_before_fuse = False
+    n.small_net_stride = 4       # 4 | 8
+    n.small_net_fuse_type = "add"
+    n.add_Nq_net = True
+    n.add_Fgfa_net = False
+
+    d = c.dataset = AttrDict()
+    d.dataset = "ImageNetVID"
+    d.image_set = "DET_train_30classes+VID_train_15frames"
+    d.test_image_set = "VID_val_videos"
+    d.root_path = "./data"
+    d.dataset_path = "./data/ILSVRC2015"
+    d.NUM_CLASSES = 31
+
+    t = c.TRAIN = AttrDict()
+    t.lr = 2.5e-4
+    t.lr_step = "1.333"
+    t.lr_factor = 0.1
+    t.warmup = False
+    t.warmup_lr = 0.0
+    t.warmup_step = 0
+    t.momentum = 0.9
+    t.wd = 0.0005
+    t.begin_epoch = 0
+    t.end_epoch = 2
+    t.model_prefix = "lsfa"
+    t.RESUME = False
+    t.FLIP = True
+    t.SHUFFLE = True
+    t.ENABLE_OHEM = True
+    t.BATCH_IMAGES = 1
+    t.END2END = True
+    t.ASPECT_GROUPING = True
+    t.BATCH_ROIS = -1
+    t.BATCH_ROIS_OHEM = 128
+    t.FG_FRACTION = 0.25
+    t.FG_THRESH = 0.5
+    t.BG_THRESH_HI = 0.5
+    t.BG_THRESH_LO = 0.0
+    t.BBOX_REGRESSION_THRESH = 0.5
+    t.BBOX_WEIGHTS = (1.0, 1.0, 1.0, 1.0)
+    t.RPN_BATCH_SIZE = 256
+    t.RPN_FG_FRACTION = 0.5
+    t.RPN_POSITIVE_OVERLAP = 0.7
+    t.RPN_NEGATIVE_OVERLAP = 0.3
+    t.RPN_CLOBBER_POSITIVES = False
+    t.RPN_BBOX_WEIGHTS = (1.0, 1.0, 1.0, 1.0)
+    t.RPN_POSITIVE_WEIGHT = -1.0
+    t.RPN_NMS_THRESH = 0.7
+    t.RPN_PRE_NMS_TOP_N = 6000
+    t.RPN_POST_NMS_TOP_N = 300
+    t.RPN_MIN_SIZE = 0
+    t.BBOX_NORMALIZATION_PRECOMPUTED = True
+    t.BBOX_MEANS = (0.0, 0.0, 0.0, 0.0)
+    t.BBOX_STDS = (0.1, 0.1, 0.2, 0.2)
+    # training frame-pair sampling window (reference config.py:141-142)
+    t.MIN_OFFSET = -9
+    t.MAX_OFFSET = 0
+
+    e = c.TEST = AttrDict()
+    e.HAS_RPN = True
+    e.BATCH_IMAGES = 1
+    e.RPN_NMS_THRESH = 0.7
+    e.RPN_PRE_NMS_TOP_N = 6000
+    e.RPN_POST_NMS_TOP_N = 300
+    e.RPN_MIN_SIZE = 0
+    e.NMS = 0.3
+    e.KEY_FRAME_INTERVAL = 12
+    e.max_per_image = 300
+    e.test_epoch = 0
+    e.SCORE_THRESH = 1e-3
+
+    # ---- TPU-native section (no reference counterpart) ----
+    p = c.tpu = AttrDict()
+    p.compute_dtype = "bfloat16"    # backbone/flownet compute dtype
+    p.param_dtype = "float32"
+    # fixed padded image bucket (H, W); 608x960 covers 600-short /1000-long
+    # VID frames after stride-16 padding in the common landscape case
+    p.image_buckets = [(608, 960), (608, 1024), (960, 608)]
+    p.default_bucket = (608, 960)
+    p.mesh_axes = AttrDict({"data": -1})  # -1 = all devices
+    p.max_gt_boxes = 100
+    p.nms_max_iters = 64
+
+    _finalize(c)
+    return c
+
+
+def _finalize(c: AttrDict) -> None:
+    c.network.NUM_ANCHORS = len(c.network.ANCHOR_SCALES) * len(c.network.ANCHOR_RATIOS)
+    if c.TRAIN.RPN_MIN_SIZE == 0:
+        c.TRAIN.RPN_MIN_SIZE = c.network.RPN_FEAT_STRIDE
+    if c.TEST.RPN_MIN_SIZE == 0:
+        c.TEST.RPN_MIN_SIZE = c.network.RPN_FEAT_STRIDE
+
+
+def _merge(dst: AttrDict, src: dict, path: str = "") -> None:
+    """Strict merge: every key in src must already exist in dst
+    (reference semantics: update_config raises on unknown keys,
+    dff_rfcn/config/config.py:188-209)."""
+    for k, v in src.items():
+        if k not in dst:
+            raise KeyError(f"unknown config key: {path}{k}")
+        if isinstance(v, dict) and isinstance(dst[k], AttrDict):
+            _merge(dst[k], v, path=f"{path}{k}.")
+        else:
+            if k == "SCALES":
+                v = [tuple(s) for s in v] if isinstance(v[0], (list, tuple)) else [tuple(v)]
+            dst[k] = v
+
+
+def load_config(path: str | None = None, overrides: dict | None = None) -> AttrDict:
+    """Build a config: defaults, then strict YAML overlay, then overrides."""
+    c = get_default_config()
+    if path is not None:
+        with open(path) as f:
+            _merge(c, yaml.safe_load(f))
+    if overrides:
+        _merge(c, overrides)
+    _finalize(c)
+    return c
+
+
+def update_network_config(c: AttrDict) -> None:
+    """Derive pixel stats from the pretrained-model name
+    (reference: dff_rfcn/config/config.py:170-186)."""
+    name = c.network.pretrained
+    if "resnet" in name:
+        c.network.PIXEL_MEANS = [0.0, 0.0, 0.0]
+        c.network.PIXEL_SCALE = 1.0
+        c.network.nettype = "resnet"
+        c.network.num_layer = int(float(name.split("-")[-1]))
+    elif "mobilenetv2" in name:
+        c.network.PIXEL_MEANS = [103.94, 116.78, 123.68]
+        c.network.PIXEL_SCALE = 0.017 if "hobot" in name else 1.0
+        c.network.nettype = "mobilenet_hobot" if "hobot" in name else "mobilenet"
+    else:
+        raise ValueError(f"cannot derive nettype from pretrained name: {name!r}")
+
+
+def np_pixel_means(c: AttrDict) -> np.ndarray:
+    return np.asarray(c.network.PIXEL_MEANS, dtype=np.float32)

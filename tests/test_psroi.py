@@ -1,0 +1,52 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from lsfa_tpu.ops import psroi_pool
+from tests.ref_impl import ref_psroi_pool
+
+
+def make_case(seed, h=12, w=16, output_dim=5, g=7, n=8, scale=1.0 / 16):
+    rng = np.random.default_rng(seed)
+    c = output_dim * g * g
+    feat_chw = rng.normal(size=(c, h, w)).astype(np.float32)
+    # rois at input-image scale (stride 16)
+    x1 = rng.uniform(0, w * 16 * 0.7, n)
+    y1 = rng.uniform(0, h * 16 * 0.7, n)
+    x2 = x1 + rng.uniform(8, w * 16 * 0.4, n)
+    y2 = y1 + rng.uniform(8, h * 16 * 0.4, n)
+    rois = np.stack([np.zeros(n), x1, y1, x2, y2], axis=1).astype(np.float32)
+    return feat_chw, rois
+
+
+def test_psroi_pool_matches_cuda_semantics():
+    feat_chw, rois = make_case(0)
+    feat_hwc = np.moveaxis(feat_chw, 0, -1)
+    got = psroi_pool(jnp.asarray(feat_hwc), jnp.asarray(rois), output_dim=5)
+    # got: (N, P, P, out) -> (N, out, P, P)
+    got = np.moveaxis(np.asarray(got), -1, 1)
+    want = ref_psroi_pool(feat_chw, rois, 5, 7, 7, 1.0 / 16)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_psroi_pool_tiny_roi_not_nan():
+    feat_chw, _ = make_case(1)
+    feat_hwc = np.moveaxis(feat_chw, 0, -1)
+    rois = np.array([[0, 5.0, 5.0, 5.0, 5.0],      # 1-pixel roi
+                     [0, 250.0, 190.0, 255.0, 191.0]], dtype=np.float32)
+    out = np.asarray(psroi_pool(jnp.asarray(feat_hwc), jnp.asarray(rois), output_dim=5))
+    assert np.isfinite(out).all()
+    want = ref_psroi_pool(feat_chw, rois, 5, 7, 7, 1.0 / 16)
+    np.testing.assert_allclose(np.moveaxis(out, -1, 1), want, rtol=1e-4, atol=1e-4)
+
+
+def test_psroi_pool_gradient_flows():
+    feat_chw, rois = make_case(2, n=4)
+    feat_hwc = jnp.asarray(np.moveaxis(feat_chw, 0, -1))
+
+    def loss(f):
+        return jnp.sum(psroi_pool(f, jnp.asarray(rois), output_dim=5) ** 2)
+
+    grad = jax.grad(loss)(feat_hwc)
+    assert np.isfinite(np.asarray(grad)).all()
+    assert np.abs(np.asarray(grad)).sum() > 0
