@@ -77,12 +77,13 @@ def get_default_config() -> AttrDict:
     n.ANCHOR_STDS = (0.1, 0.1, 0.4, 0.4)
     n.NUM_ANCHORS = 9
     n.DFF_FEAT_DIM = 1024
-    # LSFA switches (reference config.py:52-63)
-    n.rnet_num_conv = 2
-    n.fnet_type = "res"          # 'res' | 'conv#N'
+    # LSFA switches; defaults = the shipped recipe
+    # (experiments/dff_rfcn/cfgs/...ohem.yaml:49-60)
+    n.rnet_num_conv = 0
+    n.fnet_type = "None"         # 'None' | 'res' | 'conv#N'
     n.fuse_type = "add"          # 'add' | 'concat'
     n.res_diff_bn = False
-    n.add_dcn = False
+    n.add_dcn = True
     n.add_small_net = True
     n.small_net_bn_before_fuse = False
     n.small_net_scale_before_fuse = False
@@ -136,7 +137,7 @@ def get_default_config() -> AttrDict:
     t.RPN_NMS_THRESH = 0.7
     t.RPN_PRE_NMS_TOP_N = 6000
     t.RPN_POST_NMS_TOP_N = 300
-    t.RPN_MIN_SIZE = 0
+    t.RPN_MIN_SIZE = 0   # 0 = filter disabled (shipped recipe, yaml:128)
     t.BBOX_NORMALIZATION_PRECOMPUTED = True
     t.BBOX_MEANS = (0.0, 0.0, 0.0, 0.0)
     t.BBOX_STDS = (0.1, 0.1, 0.2, 0.2)
@@ -175,10 +176,6 @@ def get_default_config() -> AttrDict:
 
 def _finalize(c: AttrDict) -> None:
     c.network.NUM_ANCHORS = len(c.network.ANCHOR_SCALES) * len(c.network.ANCHOR_RATIOS)
-    if c.TRAIN.RPN_MIN_SIZE == 0:
-        c.TRAIN.RPN_MIN_SIZE = c.network.RPN_FEAT_STRIDE
-    if c.TEST.RPN_MIN_SIZE == 0:
-        c.TEST.RPN_MIN_SIZE = c.network.RPN_FEAT_STRIDE
 
 
 def _merge(dst: AttrDict, src: dict, path: str = "") -> None:

@@ -1,0 +1,117 @@
+"""Shared NN building blocks (flax.linen, NHWC, TPU dtype policy).
+
+Replaces the reference's sym_common.py conv/bn/relu wrappers
+(dff_rfcn/symbols/sym_common.py) — but weight sharing is expressed by
+applying the same module twice (functional), not by a global variable
+registry.
+
+BatchNorm convention: eps 2e-5 and frozen ("use_global_stats") by default,
+matching the reference fine-tuning recipe (sym_common.py:6-9,92-102).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+BN_EPS = 2e-5
+BN_MOMENTUM = 0.9
+
+
+class BatchNorm(nn.Module):
+    """BN with the reference's eps/momentum. When ``frozen`` the moving
+    stats are always used (reference use_global_stats=True) and never
+    updated; otherwise standard train/eval behavior."""
+
+    frozen: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        use_ra = self.frozen or (not train)
+        return nn.BatchNorm(
+            use_running_average=use_ra,
+            momentum=BN_MOMENTUM,
+            epsilon=BN_EPS,
+            dtype=self.dtype,
+            axis_name=None if use_ra else "data",
+        )(x)
+
+
+def conv(x, features: int, kernel: int = 1, stride: int = 1, dilate: int = 1,
+         use_bias: bool = True, name: str | None = None, dtype=jnp.float32):
+    """Odd-kernel 'SAME' conv — matches MXNet pad=(k-1)/2*dilate convention."""
+    return nn.Conv(
+        features, (kernel, kernel), strides=(stride, stride),
+        kernel_dilation=(dilate, dilate), padding="SAME",
+        use_bias=use_bias, name=name, dtype=dtype,
+    )(x)
+
+
+def deconv_x2(x, features: int, name: str | None = None, dtype=jnp.float32):
+    """4x4 stride-2 transposed conv producing exactly 2x spatial size —
+    the reference's Deconvolution(pad=0) + Crop(offset=(1,1)) pair
+    (dff_rfcn/symbols/resnet_v1_101_flownet_rfcn.py:174-175): a VALID
+    transposed conv yields (2*in + 2); dropping one border row/col on each
+    side reproduces the Crop alignment."""
+    y = nn.ConvTranspose(
+        features, (4, 4), strides=(2, 2), padding="VALID",
+        name=name, dtype=dtype,
+    )(x)
+    return y[..., 1:-1, 1:-1, :]
+
+
+def leaky_relu(x, slope: float = 0.1):
+    return nn.leaky_relu(x, negative_slope=slope)
+
+
+def avg_pool(x, window: int, stride: int | None = None):
+    stride = stride or window
+    return nn.avg_pool(x, (window, window), strides=(stride, stride), padding="VALID")
+
+
+def max_pool_3x3_s2(x):
+    """MXNet pool(kernel=3, stride=2, pad=1) 'valid' convention."""
+    return nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+
+def global_avg_pool(x):
+    return jnp.mean(x, axis=(-3, -2), keepdims=True)
+
+
+class ConvBNReLU(nn.Module):
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    dilate: int = 1
+    frozen_bn: bool = True
+    relu: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = conv(x, self.features, self.kernel, self.stride, self.dilate,
+                 use_bias=False, name="conv", dtype=self.dtype)
+        x = BatchNorm(frozen=self.frozen_bn, dtype=self.dtype, name="bn")(x, train)
+        if self.relu:
+            x = nn.relu(x)
+        return x
+
+
+class MLPConvs(nn.Module):
+    """A chain of convs with relu between (not after the last unless asked)."""
+
+    specs: Sequence[tuple]  # (features, kernel)
+    final_relu: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        n = len(self.specs)
+        for i, (f, k) in enumerate(self.specs):
+            x = conv(x, f, k, name=f"conv{i}", dtype=self.dtype)
+            if i < n - 1 or self.final_relu:
+                x = nn.relu(x)
+        return x

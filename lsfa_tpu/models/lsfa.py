@@ -1,0 +1,308 @@
+"""The LSFA model: R-FCN detection over long/short-term aggregated features.
+
+Graph-level behavioral targets (dff_rfcn/symbols/resnet_v1_101_flownet_rfcn.py):
+  * train graph        — get_train_symbol (:277-446)
+  * key-frame graph    — get_key_test_symbol (:448-551)
+  * non-key graph      — get_cur_test_symbol (:553-659)
+  * batched-GOP graph  — get_batch_test_symbol (:661-751)
+
+TPU redesign: one functional flax module with methods for each phase;
+the data-dependent ChooseFeat / ChooseOldKeyFeat custom ops (which forced
+device->host syncs in the reference) become jnp.where selects entirely
+on-device; the two-graph host dispatch of the reference tester becomes two
+jitted functions sharing one parameter pytree.
+
+Feature layout: NHWC. The aggregated 1024-ch "DFF feature" is split along
+channels into (rpn_feat, rfcn_feat) halves, mirroring the reference's
+SliceChannel(axis=1, num_outputs=2) (:340).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from lsfa_tpu.models.aggregation import FgfaEmbed, FNet, NqNet, RNet, SmallNetFuse
+from lsfa_tpu.models.flownet import FlowNetS
+from lsfa_tpu.models.layers import conv
+from lsfa_tpu.models.resnet import ResNetBackbone
+from lsfa_tpu.ops.warp import flow_warp
+
+
+class LSFA(nn.Module):
+    num_classes: int = 31
+    feat_dim: int = 1024
+    num_layer: int = 101
+    num_anchors: int = 9
+    # LSFA switches (shipped recipe defaults)
+    add_dcn: bool = True
+    rnet_num_conv: int = 0
+    fnet_type: str = "None"
+    fuse_type: str = "add"
+    res_diff_bn: bool = False
+    add_small_net: bool = True
+    small_net_stride: int = 4
+    small_net_fuse_type: str = "add"
+    small_net_bn_before_fuse: bool = False
+    small_net_scale_before_fuse: bool = False
+    add_Nq_net: bool = True
+    add_Fgfa_net: bool = False
+    anchor_means: Sequence[float] = (0.0, 0.0, 0.0, 0.0)
+    anchor_stds: Sequence[float] = (0.1, 0.1, 0.4, 0.4)
+    normalize_rpn: bool = True
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        dcn_u = (0, 1, 1, 3) if self.add_dcn else (0, 0, 0, 0)
+        dcn_g = (0, 4, 4, 4) if self.add_dcn else (0, 0, 0, 0)
+        self.backbone = ResNetBackbone(
+            num_layer=self.num_layer, inv_resolution=16,
+            deformable_units=dcn_u, num_deformable_group=dcn_g,
+            dtype=self.dtype, name="backbone")
+        self.feat_conv_3x3 = nn.Conv(
+            self.feat_dim, (3, 3), kernel_dilation=(6, 6), padding="SAME",
+            dtype=self.dtype, name="feat_conv_3x3")
+        self.flownet = FlowNetS(feat_dim=self.feat_dim, dtype=self.dtype,
+                                name="flownet")
+        self.rnet = RNet(num_conv=self.rnet_num_conv, feat_dim=self.feat_dim,
+                         use_bn=self.res_diff_bn, dtype=self.dtype, name="rnet")
+        self.fnet = FNet(fnet_type=self.fnet_type, feat_dim=self.feat_dim,
+                         dtype=self.dtype, name="fnet")
+        if self.add_Nq_net:
+            self.aggregator = NqNet(dtype=self.dtype, name="nq_net")
+        elif self.add_Fgfa_net:
+            self.aggregator = FgfaEmbed(dtype=self.dtype, name="fgfa_net")
+        else:
+            self.aggregator = None
+        if self.add_small_net:
+            # the small net is a *copy* of the backbone's early stages
+            # (separate params, initialized from the backbone at load time —
+            # reference init_weight :754-760); only the needed stages run.
+            self.small_backbone = ResNetBackbone(
+                num_layer=self.num_layer, inv_resolution=16,
+                num_stages=1 if self.small_net_stride == 4 else 2,
+                dtype=self.dtype, name="small_net_backbone")
+            self.small_fuse = SmallNetFuse(
+                fuse_type=self.small_net_fuse_type, stride=self.small_net_stride,
+                bn_before_fuse=self.small_net_bn_before_fuse,
+                scale_before_fuse=self.small_net_scale_before_fuse,
+                feat_dim=self.feat_dim, dtype=self.dtype, name="small_fuse")
+        if self.fuse_type == "concat":
+            self.fuse_downsample = nn.Conv(self.feat_dim, (1, 1),
+                                           dtype=self.dtype, name="fuse_downsample")
+        # heads
+        a = self.num_anchors
+        self.rpn_cls_score = nn.Conv(2 * a, (1, 1), dtype=self.dtype,
+                                     name="rpn_cls_score")
+        self.rpn_bbox_pred = nn.Conv(4 * a, (1, 1), dtype=self.dtype,
+                                     name="rpn_bbox_pred")
+        g = 7
+        self.rfcn_cls = nn.Conv(self.num_classes * g * g, (1, 1),
+                                dtype=self.dtype, name="rfcn_cls")
+        self.rfcn_bbox = nn.Conv(4 * 2 * g * g, (1, 1),
+                                 dtype=self.dtype, name="rfcn_bbox")
+
+    # ------- building blocks -------
+
+    def conv_feat(self, ims, train: bool = False):
+        """Backbone + shared dilated 3x3 -> the 1024-ch DFF feature
+        (reference get_resnet_v1 :44-55)."""
+        parts = self.backbone(ims, train)
+        return nn.relu(self.feat_conv_3x3(parts[-1]))
+
+    def long_term_aggregate(self, fresh_feat, old_feat, img_cur, img_old,
+                            train: bool = False):
+        """FlowNet warp of the previous key feature + quality-weighted
+        fusion with the fresh feature (reference :305-315, :467-476)."""
+        flow, scale_map = self.flownet(img_cur, img_old)
+        # flow (B, H/16, W/16, 2) in feature-cell units
+        warped = flow_warp(old_feat, flow) * scale_map
+        if self.aggregator is not None:
+            return self.aggregator(warped, fresh_feat)
+        return 0.5 * (warped + fresh_feat)
+
+    def short_term_propagate(self, key_feat, motion_vector, res_diff,
+                             cur_img=None, train: bool = False):
+        """MV warp + R-net residual mapping + optional small-net fusion
+        (reference :319-336, :570-586)."""
+        warped = flow_warp(key_feat, motion_vector)
+        r = self.rnet(res_diff, train)
+        if self.fuse_type == "add":
+            fused = warped + r
+        elif self.fuse_type == "concat":
+            fused = self.fuse_downsample(jnp.concatenate([warped, r], axis=-1))
+        else:
+            raise ValueError(self.fuse_type)
+        if "conv" in self.fnet_type:
+            fused = self.fnet(fused)
+        if self.add_small_net and cur_img is not None:
+            small_in = self.small_fuse.downscale(cur_img)
+            parts = self.small_backbone(small_in, train)
+            small_feat = parts[0] if self.small_net_stride == 4 else parts[1]
+            fused = self.small_fuse(fused, small_feat, train)
+        return fused
+
+    def rpn_head(self, rpn_feat):
+        """RPN 1x1 convs. Returns (cls_logits (B,H,W,2A) [bg A | fg A],
+        deltas (B,H,W,4A)) — reference channel layout (:344-347)."""
+        cls = self.rpn_cls_score(rpn_feat).astype(jnp.float32)
+        bbox = self.rpn_bbox_pred(rpn_feat).astype(jnp.float32)
+        return cls, bbox
+
+    def rfcn_maps(self, rfcn_feat):
+        """Position-sensitive score/bbox maps (reference :397-399)."""
+        return (self.rfcn_cls(rfcn_feat).astype(jnp.float32),
+                self.rfcn_bbox(rfcn_feat).astype(jnp.float32))
+
+    def rpn_fg_probs(self, cls_logits):
+        """Per-anchor fg probability from the [bg A | fg A] logit layout."""
+        a = self.num_anchors
+        shp = cls_logits.shape
+        pair = jnp.stack([cls_logits[..., :a], cls_logits[..., a:]], axis=-1)
+        probs = nn.softmax(pair, axis=-1)
+        return probs[..., 1].reshape(shp[:-1] + (a,))
+
+    def rpn_decode_deltas(self, deltas):
+        """Un-normalize RPN deltas (reference rpn_inv_normalize op)."""
+        if not self.normalize_rpn:
+            return deltas
+        std = jnp.tile(jnp.asarray(self.anchor_stds, jnp.float32), self.num_anchors)
+        mean = jnp.tile(jnp.asarray(self.anchor_means, jnp.float32), self.num_anchors)
+        return deltas * std + mean
+
+    def _split(self, feat):
+        half = self.feat_dim // 2
+        return feat[..., :half], feat[..., half:]
+
+    # ------- phase graphs -------
+
+    def forward_train(self, data, data_ref, data_ref_old, eq_flag, eq_flag_old,
+                      motion_vector, res_diff):
+        """Training forward to the head maps (reference :277-341).
+
+        All inputs batched (B leading). eq_flag/eq_flag_old: (B,) float/int;
+        eq_flag==1 means cur==key (use the fresh aggregated key feature
+        directly); eq_flag_old==1 means old-ref==ref.
+        """
+        b = data.shape[0]
+        both = jnp.concatenate([data_ref, data_ref_old], axis=0)
+        feats = self.conv_feat(both, train=True)
+        feat_ref, feat_old = feats[:b], feats[b:]
+        feat_prop = self.long_term_aggregate(feat_ref, feat_old,
+                                             data_ref, data_ref_old, train=True)
+        # ChooseFeat (reference operator_py/choose_feat.py): fresh feature
+        # when the pair is degenerate (cur==key or old==ref), else aggregated
+        use_fresh = ((eq_flag > 0) | (eq_flag_old > 0)).reshape(b, 1, 1, 1)
+        key_feat = jnp.where(use_fresh, feat_ref, feat_prop)
+
+        cur_feat = self.short_term_propagate(key_feat, motion_vector, res_diff,
+                                             cur_img=data, train=True)
+        # take(concat(cur_feat, key_feat), eq_flag): key frames train the
+        # key path directly (reference :338)
+        is_key = (eq_flag > 0).reshape(b, 1, 1, 1)
+        sel = jnp.where(is_key, key_feat, cur_feat)
+
+        rpn_feat, rfcn_feat = self._split(sel)
+        rpn_cls, rpn_bbox = self.rpn_head(rpn_feat)
+        cls_map, bbox_map = self.rfcn_maps(rfcn_feat)
+        return {
+            "rpn_cls": rpn_cls, "rpn_bbox": rpn_bbox,
+            "rfcn_cls_map": cls_map, "rfcn_bbox_map": bbox_map,
+            "key_feat": key_feat, "sel_feat": sel,
+        }
+
+    def forward_key(self, data, data_key_old, feat_key_old, is_first):
+        """Key-frame inference (reference get_key_test_symbol :448-551).
+
+        is_first: (B,) — on the first frame of a stream the cached old
+        feature is a dummy; substitute the fresh feature
+        (ChooseOldKeyFeat, operator_py/choose_old_key_feat.py).
+        """
+        b = data.shape[0]
+        fresh = self.conv_feat(data, train=False)
+        first = (is_first > 0).reshape(b, 1, 1, 1)
+        old = jnp.where(first, fresh, feat_key_old)
+        prop = self.long_term_aggregate(fresh, old, data, data_key_old, train=False)
+        feat = jnp.where(first, fresh, prop)
+        rpn_feat, rfcn_feat = self._split(feat)
+        rpn_cls, rpn_bbox = self.rpn_head(rpn_feat)
+        cls_map, bbox_map = self.rfcn_maps(rfcn_feat)
+        return {
+            "feat": feat,
+            "rpn_fg": self.rpn_fg_probs(rpn_cls),
+            "rpn_deltas": self.rpn_decode_deltas(rpn_bbox),
+            "rfcn_cls_map": cls_map, "rfcn_bbox_map": bbox_map,
+        }
+
+    def forward_cur(self, data, feat_key, motion_vector, res_diff):
+        """Non-key inference (reference get_cur_test_symbol :553-659) —
+        no backbone, no flownet: MV warp + R-net + small net only."""
+        feat = self.short_term_propagate(feat_key, motion_vector, res_diff,
+                                         cur_img=data, train=False)
+        rpn_feat, rfcn_feat = self._split(feat)
+        rpn_cls, rpn_bbox = self.rpn_head(rpn_feat)
+        cls_map, bbox_map = self.rfcn_maps(rfcn_feat)
+        return {
+            "feat": feat,
+            "rpn_fg": self.rpn_fg_probs(rpn_cls),
+            "rpn_deltas": self.rpn_decode_deltas(rpn_bbox),
+            "rfcn_cls_map": cls_map, "rfcn_bbox_map": bbox_map,
+        }
+
+    def forward_batch_gop(self, data_key, data_other):
+        """Batched-GOP inference (reference get_batch_test_symbol :661-751):
+        one key frame + N-1 non-key frames in a single forward, DFF-style
+        (flow warp only). data_key: (1, H, W, 3); data_other: (N-1, H, W, 3)."""
+        feat_key = self.conv_feat(data_key, train=False)
+        n = data_other.shape[0]
+        key_t = jnp.broadcast_to(feat_key, (n,) + feat_key.shape[1:])
+        img_key_t = jnp.broadcast_to(data_key, (n,) + data_key.shape[1:])
+        flow, scale_map = self.flownet(data_other, img_key_t)
+        feat_other = flow_warp(key_t, flow) * scale_map
+        feat = jnp.concatenate([feat_key, feat_other], axis=0)
+        rpn_feat, rfcn_feat = self._split(feat)
+        rpn_cls, rpn_bbox = self.rpn_head(rpn_feat)
+        cls_map, bbox_map = self.rfcn_maps(rfcn_feat)
+        return {
+            "feat": feat,
+            "rpn_fg": self.rpn_fg_probs(rpn_cls),
+            "rpn_deltas": self.rpn_decode_deltas(rpn_bbox),
+            "rfcn_cls_map": cls_map, "rfcn_bbox_map": bbox_map,
+        }
+
+    def __call__(self, data, data_ref, data_ref_old, eq_flag, eq_flag_old,
+                 motion_vector, res_diff):
+        """Default apply = train forward. Used for init: it traces every
+        submodule (backbone, flownet, aggregator, R-net, small net, heads)
+        so one init covers all phase graphs."""
+        return self.forward_train(data, data_ref, data_ref_old, eq_flag,
+                                  eq_flag_old, motion_vector, res_diff)
+
+
+def lsfa_from_config(cfg):
+    """Build an LSFA module from a config tree."""
+    n = cfg.network
+    return LSFA(
+        num_classes=cfg.dataset.NUM_CLASSES,
+        feat_dim=n.DFF_FEAT_DIM,
+        num_layer=n.num_layer,
+        num_anchors=n.NUM_ANCHORS,
+        add_dcn=n.add_dcn,
+        rnet_num_conv=n.rnet_num_conv,
+        fnet_type=str(n.fnet_type),
+        fuse_type=n.fuse_type,
+        res_diff_bn=n.res_diff_bn,
+        add_small_net=n.add_small_net,
+        small_net_stride=n.small_net_stride,
+        small_net_fuse_type=n.small_net_fuse_type,
+        small_net_bn_before_fuse=n.small_net_bn_before_fuse,
+        small_net_scale_before_fuse=n.small_net_scale_before_fuse,
+        add_Nq_net=n.add_Nq_net,
+        add_Fgfa_net=n.add_Fgfa_net,
+        anchor_means=tuple(n.ANCHOR_MEANS),
+        anchor_stds=tuple(n.ANCHOR_STDS),
+        normalize_rpn=n.NORMALIZE_RPN,
+        dtype=jnp.bfloat16 if cfg.tpu.compute_dtype == "bfloat16" else jnp.float32,
+    )
