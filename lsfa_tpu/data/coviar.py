@@ -1,0 +1,162 @@
+"""Python binding for the native compressed-video loader.
+
+Drop-in API parity with the reference's coviar_py2 module
+(external/data_loader_py2/coviar_data_loader.c:500-582):
+    load(path, gop_idx, pos_in_gop, representation, accumulate)
+        representation 0 = BGR image (float-convertible uint8 HxWx3)
+                       1 = accumulated motion vectors (int32 HxWx2, (dx,dy))
+                       2 = residual vs MV-warped GOP key (int32 HxWx3)
+    get_num_frames(path), get_num_gops(path)
+
+plus the TPU-pipeline upgrades the reference lacks:
+    VideoReader           — stateful handle with a GOP cache: one decode per
+                            GOP serves all frames (reference re-decodes the
+                            file prefix for EVERY sample, SURVEY.md §3.4)
+    encode_test_video     — synthesize an MPEG-4 clip (test fixture maker)
+
+The native library is optional at import time: `available()` reports
+whether it loaded, and callers can gate on it (tests skip, the synthetic
+data path takes over).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import functools
+import os
+
+import numpy as np
+
+_LIB_PATHS = [
+    os.path.join(os.path.dirname(__file__), "..", "..", "native", "coviar",
+                 "libcoviar_tpu.so"),
+    "libcoviar_tpu.so",
+]
+
+
+@functools.lru_cache(maxsize=1)
+def _lib():
+    for p in _LIB_PATHS:
+        try:
+            lib = ctypes.CDLL(os.path.abspath(p))
+            break
+        except OSError:
+            lib = None
+    if lib is None:
+        return None
+    lib.coviar_open.restype = ctypes.c_void_p
+    lib.coviar_open.argtypes = [ctypes.c_char_p]
+    lib.coviar_close.argtypes = [ctypes.c_void_p]
+    for f in ("coviar_num_frames", "coviar_num_gops", "coviar_width",
+              "coviar_height"):
+        getattr(lib, f).restype = ctypes.c_int
+        getattr(lib, f).argtypes = [ctypes.c_void_p]
+    lib.coviar_gop_frames.restype = ctypes.c_int
+    lib.coviar_gop_frames.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.coviar_decode_gop.restype = ctypes.c_int
+    lib.coviar_decode_gop.argtypes = [
+        ctypes.c_void_p, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int]
+    lib.coviar_encode_test_video.restype = ctypes.c_int
+    lib.coviar_encode_test_video.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int]
+    return lib
+
+
+def available() -> bool:
+    return _lib() is not None
+
+
+class VideoReader:
+    """Stateful reader with a one-GOP decode cache."""
+
+    def __init__(self, path: str):
+        lib = _lib()
+        if lib is None:
+            raise RuntimeError("libcoviar_tpu.so not available")
+        self._lib = lib
+        self._h = lib.coviar_open(path.encode())
+        if not self._h:
+            raise IOError(f"cannot open video: {path}")
+        self.path = path
+        self.num_frames = lib.coviar_num_frames(self._h)
+        self.num_gops = lib.coviar_num_gops(self._h)
+        self.width = lib.coviar_width(self._h)
+        self.height = lib.coviar_height(self._h)
+        self._cache_gop = -1
+        self._cache = None
+
+    def close(self):
+        if getattr(self, "_h", None):
+            self._lib.coviar_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        self.close()
+
+    def gop_frames(self, gop_idx: int) -> int:
+        return self._lib.coviar_gop_frames(self._h, gop_idx)
+
+    def decode_gop(self, gop_idx: int):
+        """Returns (bgr (N,H,W,3) uint8, mv (N,H,W,2) int32, res (N,H,W,3)
+        int32) for the whole GOP; cached until another GOP is requested."""
+        if gop_idx == self._cache_gop:
+            return self._cache
+        n = self.gop_frames(gop_idx)
+        if n <= 0:
+            raise IndexError(f"bad gop {gop_idx} for {self.path}")
+        h, w = self.height, self.width
+        bgr = np.empty((n, h, w, 3), np.uint8)
+        mv = np.empty((n, h, w, 2), np.int32)
+        res = np.empty((n, h, w, 3), np.int32)
+        got = self._lib.coviar_decode_gop(
+            self._h, gop_idx,
+            bgr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            mv.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            res.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n)
+        if got != n:
+            raise IOError(f"decoded {got}/{n} frames of gop {gop_idx}")
+        self._cache_gop = gop_idx
+        self._cache = (bgr, mv, res)
+        return self._cache
+
+
+@functools.lru_cache(maxsize=8)
+def _reader(path: str) -> VideoReader:
+    return VideoReader(path)
+
+
+def load(path: str, gop_idx: int, pos_in_gop: int, representation: int,
+         accumulate: bool = True) -> np.ndarray:
+    """Reference-parity one-shot loader (but GOP-cached underneath)."""
+    assert accumulate, "only accumulated MV/residual are supported"
+    r = _reader(path)
+    bgr, mv, res = r.decode_gop(gop_idx)
+    if representation == 0:
+        return bgr[pos_in_gop].copy()
+    if representation == 1:
+        return mv[pos_in_gop].copy()
+    if representation == 2:
+        return res[pos_in_gop].copy()
+    raise ValueError(f"bad representation {representation}")
+
+
+def get_num_frames(path: str) -> int:
+    return _reader(path).num_frames
+
+
+def get_num_gops(path: str) -> int:
+    return _reader(path).num_gops
+
+
+def encode_test_video(path: str, n_frames: int = 36, w: int = 128,
+                      h: int = 96, gop_size: int = 12, seed: int = 0):
+    lib = _lib()
+    if lib is None:
+        raise RuntimeError("libcoviar_tpu.so not available")
+    rc = lib.coviar_encode_test_video(path.encode(), n_frames, w, h,
+                                      gop_size, seed)
+    if rc != 0:
+        raise IOError(f"encode failed rc={rc}")

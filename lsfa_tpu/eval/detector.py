@@ -1,0 +1,107 @@
+"""Test-time detection pipeline: proposals -> PSROI scoring -> per-class NMS.
+
+Behavioral targets:
+  * im_detect (dff_rfcn/core/tester.py:130-160): forward, decode boxes
+    (bbox_pred + clip_boxes), rescale to original image coordinates;
+  * pred_eval post-processing (tester.py:265-281): per-class score
+    threshold, greedy NMS at TEST.NMS=0.3, cap max_per_image;
+  * the bbox-std "baking" trick (core/callback.py:54-65 writes
+    rfcn_bbox_test weights with TRAIN.BBOX_STDS multiplied in) is kept as
+    an explicit decode step here instead of mutating weights.
+
+TPU redesign: the reference runs NMS and box decode on host NumPy per
+frame; here the whole pipeline after the network forward is one jitted
+program (per-class NMS = vmap of the fixed-shape NMS over classes), so a
+frame's detections leave the device as one small fixed-size tensor.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from lsfa_tpu.ops.boxes import bbox_pred, clip_boxes
+from lsfa_tpu.ops.nms import nms_fixed
+from lsfa_tpu.ops.proposal import rpn_proposals
+from lsfa_tpu.ops.psroi_pool import psroi_pool
+
+
+@partial(jax.jit, static_argnames=("num_classes", "max_per_image", "nms_thresh",
+                                   "score_thresh", "bbox_stds", "bbox_means"))
+def postprocess_detections(cls_prob, bbox_deltas, rois, roi_valid, im_info,
+                           num_classes: int, max_per_image: int = 300,
+                           nms_thresh: float = 0.3, score_thresh: float = 1e-3,
+                           bbox_stds=(0.1, 0.1, 0.2, 0.2),
+                           bbox_means=(0.0, 0.0, 0.0, 0.0)):
+    """Single image. cls_prob: (R, C) softmax scores; bbox_deltas: (R, 8)
+    normalized class-agnostic deltas; rois: (R, 5); im_info: (3,).
+
+    Returns (max_per_image, 6) [label, score, x1, y1, x2, y2] in ORIGINAL
+    image coordinates + validity mask (max_per_image,).
+    """
+    r = rois.shape[0]
+    # un-normalize the fg slot and decode (explicit replacement for the
+    # reference's baked *_test weights)
+    stds = jnp.asarray(bbox_stds, jnp.float32)
+    means = jnp.asarray(bbox_means, jnp.float32)
+    fg_deltas = bbox_deltas[:, 4:8] * stds + means
+    boxes = bbox_pred(rois[:, 1:5], fg_deltas)
+    boxes = clip_boxes(boxes, im_info[:2])
+    boxes = boxes / im_info[2]                       # back to original coords
+
+    def per_class(c_scores):
+        ok = roi_valid & (c_scores > score_thresh)
+        keep_idx, keep_valid = nms_fixed(boxes, c_scores, nms_thresh,
+                                         max_per_image, valid=ok)
+        return keep_idx, keep_valid
+
+    # classes 1..C-1 (skip background)
+    fg_scores = cls_prob[:, 1:].T                    # (C-1, R)
+    keep_idx, keep_valid = jax.vmap(per_class)(fg_scores)   # (C-1, M)
+    c_minus1, m = keep_idx.shape
+    labels = jnp.broadcast_to(jnp.arange(1, num_classes)[:, None], (c_minus1, m))
+    scores = jnp.take_along_axis(fg_scores, keep_idx, axis=1)
+    scores = jnp.where(keep_valid, scores, -1.0)
+    flat_boxes = boxes[keep_idx.reshape(-1)].reshape(c_minus1, m, 4)
+
+    # global top max_per_image across classes (tester.py:276-281)
+    flat_scores = scores.reshape(-1)
+    top_scores, top_i = jax.lax.top_k(flat_scores, max_per_image)
+    out_valid = top_scores > 0
+    out_labels = labels.reshape(-1)[top_i].astype(jnp.float32)
+    out_boxes = flat_boxes.reshape(-1, 4)[top_i]
+    dets = jnp.concatenate(
+        [out_labels[:, None], top_scores[:, None], out_boxes], axis=1)
+    return dets, out_valid
+
+
+def detect_from_maps(out, anchors, im_info, num_classes: int,
+                     pre_nms: int = 6000, post_nms: int = 300,
+                     rpn_nms_thresh: float = 0.7, min_size: int = 0,
+                     feat_stride: int = 16, max_per_image: int = 300,
+                     nms_thresh: float = 0.3, score_thresh: float = 1e-3,
+                     bbox_stds=(0.1, 0.1, 0.2, 0.2)):
+    """From a phase-graph output dict (single image, leading batch dim 1)
+    to final detections. Jit-compatible; composed into the tester's jitted
+    step functions."""
+    fg = out["rpn_fg"][0]
+    deltas = out["rpn_deltas"][0]
+    rois, _, roi_valid = rpn_proposals(
+        fg, deltas, anchors, im_info,
+        pre_nms_top_n=pre_nms, post_nms_top_n=post_nms,
+        nms_thresh=rpn_nms_thresh, min_size=min_size, feat_stride=feat_stride)
+    pooled_cls = psroi_pool(out["rfcn_cls_map"][0], rois,
+                            output_dim=num_classes,
+                            spatial_scale=1.0 / feat_stride)
+    pooled_bbox = psroi_pool(out["rfcn_bbox_map"][0], rois, output_dim=8,
+                             spatial_scale=1.0 / feat_stride)
+    cls_scores = jnp.mean(pooled_cls, axis=(1, 2))
+    bbox_deltas = jnp.mean(pooled_bbox, axis=(1, 2))
+    cls_prob = jax.nn.softmax(cls_scores, axis=-1)
+    return postprocess_detections(
+        cls_prob, bbox_deltas, rois, roi_valid, im_info,
+        num_classes=num_classes, max_per_image=max_per_image,
+        nms_thresh=nms_thresh, score_thresh=score_thresh,
+        bbox_stds=bbox_stds)

@@ -1,0 +1,139 @@
+"""Streaming LSFA inference: the key/non-key state machine.
+
+Behavioral target: pred_eval (dff_rfcn/core/tester.py:192-299) driven by
+the TestLoader's key_frame_flag schedule (core/loader.py:113-131):
+  flag 0 — first frame of a video: key graph with a dummy old feature
+           (the ChooseOldKeyFeat bootstrap),
+  flag 1 — new key frame (every KEY_FRAME_INTERVAL frames): key graph fed
+           the cached key feature as feat_key_old,
+  flag 2 — non-key frame: cheap graph fed the cached key feature.
+
+TPU redesign: the cached key feature and key image are device-resident
+jax.Arrays that never visit the host (the reference mutates data_batch
+NDArray slots per frame, tester.py:247-253); both phase graphs + full
+detection post-processing are two jitted functions over one param tree.
+Detections come back as one fixed-size (max_per_image, 6) tensor per frame.
+
+Multi-stream throughput: all state carries a leading batch dim — shard it
+over the 'data' mesh axis to run many videos per chip/host, replacing the
+reference's one-process-per-GPU video sharding (function/test_rcnn.py:69-75).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lsfa_tpu.eval.detector import detect_from_maps
+from lsfa_tpu.ops.anchors import anchor_grid
+
+
+class StreamingDetector:
+    """Per-stream LSFA inference with device-resident recurrent state."""
+
+    def __init__(self, model, variables, cfg, image_hw, batch: int = 1):
+        self.model = model
+        self.variables = variables
+        self.cfg = cfg
+        self.batch = batch
+        h, w = image_hw
+        self.image_hw = image_hw
+        fh, fw = h // cfg.network.RPN_FEAT_STRIDE, w // cfg.network.RPN_FEAT_STRIDE
+        self.feat_hw = (fh, fw)
+        self.key_interval = cfg.TEST.KEY_FRAME_INTERVAL
+        anchors = anchor_grid(fh, fw, cfg.network.RPN_FEAT_STRIDE,
+                              tuple(cfg.network.ANCHOR_RATIOS),
+                              tuple(cfg.network.ANCHOR_SCALES))
+        self._anchors = jnp.asarray(anchors)
+        det_kw = dict(
+            num_classes=cfg.dataset.NUM_CLASSES,
+            pre_nms=cfg.TEST.RPN_PRE_NMS_TOP_N,
+            post_nms=cfg.TEST.RPN_POST_NMS_TOP_N,
+            rpn_nms_thresh=cfg.TEST.RPN_NMS_THRESH,
+            min_size=cfg.TEST.RPN_MIN_SIZE,
+            feat_stride=cfg.network.RPN_FEAT_STRIDE,
+            max_per_image=cfg.TEST.max_per_image,
+            nms_thresh=cfg.TEST.NMS,
+            score_thresh=cfg.TEST.SCORE_THRESH,
+            bbox_stds=tuple(cfg.TRAIN.BBOX_STDS),
+        )
+
+        @jax.jit
+        def key_step(variables, data, data_key_old, feat_key_old, is_first,
+                     im_info):
+            out = model.apply(variables, data, data_key_old, feat_key_old,
+                              is_first, method=model.forward_key)
+            dets, valid = detect_from_maps(out, self._anchors, im_info[0],
+                                           **det_kw)
+            return out["feat"], dets, valid
+
+        @jax.jit
+        def cur_step(variables, data, feat_key, motion_vector, res_diff,
+                     im_info):
+            out = model.apply(variables, data, feat_key, motion_vector,
+                              res_diff, method=model.forward_cur)
+            dets, valid = detect_from_maps(out, self._anchors, im_info[0],
+                                           **det_kw)
+            return dets, valid
+
+        self._key_step = key_step
+        self._cur_step = cur_step
+        self.reset()
+
+    def reset(self):
+        """Start a new video stream."""
+        b = self.batch
+        fh, fw = self.feat_hw
+        h, w = self.image_hw
+        self.feat_key = jnp.zeros((b, fh, fw, self.cfg.network.DFF_FEAT_DIM))
+        self.data_key = jnp.zeros((b, h, w, 3))
+        self.frame_id = 0
+
+    def key_frame_flag(self, frame_id: int) -> int:
+        """The TestLoader schedule (loader.py:118-131)."""
+        if frame_id == 0:
+            return 0
+        if frame_id % self.key_interval == 0:
+            return 1
+        return 2
+
+    def process_frame(self, data, im_info, motion_vector=None, res_diff=None,
+                      flag: int | None = None):
+        """Run one frame. data: (B, H, W, 3); im_info: (B, 3);
+        motion_vector/res_diff: (B, fh, fw, {2,3}) for non-key frames.
+
+        Returns (dets (max_per_image, 6) np.ndarray view, valid mask)."""
+        if flag is None:
+            flag = self.key_frame_flag(self.frame_id)
+        data = jnp.asarray(data)
+        im_info = jnp.asarray(im_info)
+        if flag in (0, 1):
+            is_first = jnp.full((self.batch,), 1.0 if flag == 0 else 0.0)
+            feat, dets, valid = self._key_step(
+                self.variables, data, self.data_key, self.feat_key,
+                is_first, im_info)
+            self.feat_key = feat
+            self.data_key = data
+        else:
+            fh, fw = self.feat_hw
+            mv = (jnp.asarray(motion_vector) if motion_vector is not None
+                  else jnp.zeros((self.batch, fh, fw, 2)))
+            rd = (jnp.asarray(res_diff) if res_diff is not None
+                  else jnp.zeros((self.batch, fh, fw, 3)))
+            dets, valid = self._cur_step(self.variables, data, self.feat_key,
+                                         mv, rd, im_info)
+        self.frame_id += 1
+        return dets, valid
+
+
+def collect_detections(dets, valid) -> dict:
+    """Convert a frame's fixed-size detection tensor to the structured form
+    vid_eval consumes."""
+    d = np.asarray(dets)
+    v = np.asarray(valid)
+    d = d[v]
+    return {"labels": d[:, 0].astype(int), "scores": d[:, 1],
+            "boxes": d[:, 2:6]}

@@ -1,0 +1,71 @@
+"""ROI target assignment (proposal_target) — fixed-shape, jittable.
+
+Behavioral target: dff_rfcn/operator_py/proposal_target.py:44-81 +
+core/rcnn.py:126-191 + lib/bbox/bbox_regression.py:118-141, specialized
+to the shipped recipe (BATCH_ROIS = -1: keep ALL rois, no fg/bg
+subsampling — OHEM does the selection downstream):
+
+  * append the gt boxes to the proposal rois,
+  * label each roi with the class of its argmax-IoU gt if IoU >= FG_THRESH,
+    else background (0),
+  * regression targets toward the argmax gt, normalized by
+    BBOX_MEANS/STDS, expanded class-agnostic to (N, 8) with the fg slot
+    at [4:8] and weights BBOX_WEIGHTS on fg rois.
+
+Fixed shapes: gt arrives padded to max_gt with a validity mask; outputs
+are (R + max_gt)-sized with a validity mask (invalid slots labeled -1 so
+every downstream loss ignores them).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from lsfa_tpu.ops.boxes import bbox_transform, pairwise_iou
+
+
+def proposal_target(rois, gt_boxes, gt_valid,
+                    fg_thresh: float = 0.5,
+                    bbox_means=(0.0, 0.0, 0.0, 0.0),
+                    bbox_stds=(0.1, 0.1, 0.2, 0.2),
+                    bbox_weights=(1.0, 1.0, 1.0, 1.0)):
+    """Single-image ROI labeling (class-agnostic regression).
+
+    Args:
+      rois: (R, 5) [batch0, x1, y1, x2, y2] from the proposal op.
+      gt_boxes: (G, 5) [x1, y1, x2, y2, cls] padded.
+      gt_valid: (G,) bool.
+
+    Returns dict:
+      rois (R+G, 5), label (R+G,) float in {-1, 0, 1..C-1},
+      bbox_target (R+G, 8), bbox_weight (R+G, 8), valid (R+G,) bool.
+    """
+    g = gt_boxes.shape[0]
+    gt_as_rois = jnp.concatenate(
+        [jnp.zeros((g, 1), rois.dtype), gt_boxes[:, :4]], axis=1)
+    all_rois = jnp.concatenate([rois, gt_as_rois], axis=0)
+    valid = jnp.concatenate(
+        [jnp.ones((rois.shape[0],), bool), gt_valid], axis=0)
+
+    iou = pairwise_iou(all_rois[:, 1:5], gt_boxes[:, :4])
+    iou = jnp.where(gt_valid[None, :], iou, -1.0)
+    max_iou = jnp.max(iou, axis=1)
+    argmax_gt = jnp.argmax(iou, axis=1)
+    any_gt = jnp.any(gt_valid)
+
+    is_fg = (max_iou >= fg_thresh) & valid & any_gt
+    label = jnp.where(is_fg, gt_boxes[argmax_gt, 4], 0.0)
+    label = jnp.where(valid, label, -1.0)
+
+    targets = bbox_transform(all_rois[:, 1:5], gt_boxes[argmax_gt, :4])
+    targets = (targets - jnp.asarray(bbox_means)) / jnp.asarray(bbox_stds)
+    # class-agnostic expansion: fg slot at [4:8]
+    n = all_rois.shape[0]
+    bbox_target = jnp.zeros((n, 8), jnp.float32)
+    bbox_target = bbox_target.at[:, 4:8].set(
+        jnp.where(is_fg[:, None], targets, 0.0))
+    bbox_weight = jnp.zeros((n, 8), jnp.float32)
+    bbox_weight = bbox_weight.at[:, 4:8].set(
+        jnp.where(is_fg[:, None], jnp.asarray(bbox_weights, jnp.float32), 0.0))
+    return {"rois": all_rois, "label": label, "bbox_target": bbox_target,
+            "bbox_weight": bbox_weight, "valid": valid}

