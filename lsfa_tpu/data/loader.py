@@ -1,0 +1,257 @@
+"""Train/test batch assembly + async prefetch.
+
+Behavioral targets:
+  * get_pair_image (lib/utils/image.py:92-200): per training sample decode
+    the current frame, its GOP key frame ("ref") and the previous GOP's
+    key ("old ref") from the compressed stream, plus accumulated MV and
+    residual; eq_flag=1 when cur==key (key frames train the key path),
+    eq_flag_old=1 when old-ref==ref (first GOP);
+  * AnchorLoader batching (dff_rfcn/core/loader.py:143-377) — but anchor
+    labeling happens ON DEVICE inside the train step here, so the host
+    ships only images/MV/residual/gt;
+  * TestLoader frame iteration + key schedule (core/loader.py:24-141);
+  * MultiThreadPrefetchingIter (lib/utils/PrefetchingIter.py) — replaced
+    by a double-buffered thread prefetcher feeding device puts.
+
+TPU redesign: every tensor is padded to a fixed (H, W) bucket so the
+jitted programs never recompile; gt boxes ride as (max_gt, 5) + validity.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+
+import numpy as np
+from PIL import Image
+
+from lsfa_tpu.data import coviar
+from lsfa_tpu.data.image import (
+    pad_to_bucket,
+    resize,
+    transform,
+    transform_mv_res,
+)
+
+GOP_SIZE = 12
+
+
+def _read_jpeg_bgr(path: str) -> np.ndarray:
+    im = np.asarray(Image.open(path).convert("RGB"), np.uint8)
+    return im[:, :, ::-1].astype(np.float32)
+
+
+def load_pair_sample(rec, cfg, rng: np.random.Generator):
+    """One training sample following the get_pair_image contract.
+
+    Returns dict of host arrays: data/data_ref/data_ref_old (1,H,W,3 NHWC),
+    eq_flag, eq_flag_old, motion_vector (1,fh,fw,2), res_diff (1,fh,fw,3),
+    im_info (3,), gt_boxes (G,5 scaled).
+    """
+    means = cfg.network.PIXEL_MEANS
+    scale = cfg.network.PIXEL_SCALE
+    eq_flag, eq_flag_old = 0.0, 0.0
+    im_h, im_w = int(rec["height"]), int(rec["width"])
+    mv = np.zeros((im_h, im_w, 2), np.float32)
+    res = np.zeros((im_h, im_w, 3), np.float32)
+
+    use_video = ("pattern" in rec) and coviar.available()
+    if use_video:
+        video = rec.get("video_path")
+        cur_id = rec["frame_seg_id"]
+        gop_id, pos_id = cur_id // GOP_SIZE, cur_id % GOP_SIZE
+        n_frames = coviar.get_num_frames(video)
+        # random ref offset in [MIN_OFFSET, MAX_OFFSET] (image.py:124)
+        ref_id = int(np.clip(
+            cur_id + rng.integers(cfg.TRAIN.MIN_OFFSET, cfg.TRAIN.MAX_OFFSET + 1),
+            0, rec["frame_seg_len"] - 1))
+        if cur_id >= n_frames:          # stream shorter than the annotation
+            im = _read_jpeg_bgr(rec["image"])
+            ref = old_ref = im.copy()
+            eq_flag = 1.0
+        else:
+            im = coviar.load(video, gop_id, pos_id, 0).astype(np.float32)
+            if pos_id == 0 or ref_id == cur_id:
+                ref = old_ref = im.copy()
+                eq_flag = 1.0
+            else:
+                ref_gop = gop_id
+                old_gop = max(ref_gop - 1, 0)
+                eq_flag_old = 1.0 if old_gop == ref_gop else 0.0
+                ref_pos = 0
+                ref = coviar.load(video, ref_gop, ref_pos, 0).astype(np.float32)
+                old_ref = coviar.load(video, old_gop, ref_pos, 0).astype(np.float32)
+                mv = -coviar.load(video, gop_id, pos_id, 1).astype(np.float32)
+                res = coviar.load(video, gop_id, pos_id, 2).astype(np.float32)
+    else:
+        im = _read_jpeg_bgr(rec["image"])
+        ref = old_ref = im.copy()
+        eq_flag = 1.0
+
+    if rec.get("flipped"):
+        im = im[:, ::-1]
+        ref = ref[:, ::-1]
+        old_ref = old_ref[:, ::-1]
+        mv = mv[:, ::-1].copy()
+        mv[:, :, 0] = -mv[:, :, 0]
+        res = res[:, ::-1]
+
+    target, max_size = cfg.SCALES[0]
+    im_r, im_scale = resize(im, target, max_size)
+    ref_r, _ = resize(ref, target, max_size)
+    old_r, _ = resize(old_ref, target, max_size)
+    data = transform(im_r, means, scale)
+    data_ref = transform(ref_r, means, scale)
+    data_old = transform(old_r, means, scale)
+    mv_t, res_t = transform_mv_res(mv, res, im_scale, means, scale,
+                                   cfg.network.RCNN_FEAT_STRIDE)
+
+    boxes = rec["boxes"] * im_scale
+    gt = np.concatenate(
+        [boxes, rec["gt_classes"][:, None].astype(np.float32)], axis=1)
+    im_info = np.asarray(
+        [data.shape[1], data.shape[2], im_scale], np.float32)
+    return {
+        "data": data, "data_ref": data_ref, "data_ref_old": data_old,
+        "eq_flag": eq_flag, "eq_flag_old": eq_flag_old,
+        "motion_vector": mv_t, "res_diff": res_t,
+        "im_info": im_info, "gt_boxes": gt,
+    }
+
+
+def collate_train_batch(samples, bucket_hw, max_gt: int = 100):
+    """Stack samples into one fixed-shape device batch."""
+    bh, bw = bucket_hw
+    fb = (bh // 16, bw // 16)
+    b = len(samples)
+    out = {
+        "data": np.concatenate(
+            [pad_to_bucket(s["data"], bucket_hw) for s in samples]),
+        "data_ref": np.concatenate(
+            [pad_to_bucket(s["data_ref"], bucket_hw) for s in samples]),
+        "data_ref_old": np.concatenate(
+            [pad_to_bucket(s["data_ref_old"], bucket_hw) for s in samples]),
+        "motion_vector": np.concatenate(
+            [pad_to_bucket(s["motion_vector"], fb) for s in samples]),
+        "res_diff": np.concatenate(
+            [pad_to_bucket(s["res_diff"], fb) for s in samples]),
+        "eq_flag": np.asarray([s["eq_flag"] for s in samples], np.float32),
+        "eq_flag_old": np.asarray([s["eq_flag_old"] for s in samples],
+                                  np.float32),
+        "im_info": np.stack([s["im_info"] for s in samples]),
+    }
+    gt = np.zeros((b, max_gt, 5), np.float32)
+    gtv = np.zeros((b, max_gt), bool)
+    for i, s in enumerate(samples):
+        g = min(len(s["gt_boxes"]), max_gt)
+        gt[i, :g] = s["gt_boxes"][:g]
+        gtv[i, :g] = True
+    out["gt_boxes"] = gt
+    out["gt_valid"] = gtv
+    return out
+
+
+class TrainLoader:
+    """Shuffling epoch iterator with thread prefetch (replaces
+    AnchorLoader + MultiThreadPrefetchingIter)."""
+
+    def __init__(self, roidb, cfg, batch_size: int, bucket_hw=None,
+                 seed: int = 0, prefetch: int = 2, num_workers: int = 2):
+        self.roidb = roidb
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.bucket_hw = bucket_hw or tuple(cfg.tpu.default_bucket)
+        self.max_gt = cfg.tpu.max_gt_boxes
+        self.rng = np.random.default_rng(seed)
+        self.prefetch = prefetch
+        self.num_workers = num_workers
+
+    def __len__(self):
+        return len(self.roidb) // self.batch_size
+
+    def _epoch_order(self):
+        order = np.arange(len(self.roidb))
+        if self.cfg.TRAIN.SHUFFLE:
+            self.rng.shuffle(order)
+        return order
+
+    def __iter__(self):
+        order = self._epoch_order()
+        nb = len(self)
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        idx_q: queue.Queue = queue.Queue()
+        for i in range(nb):
+            idx_q.put(order[i * self.batch_size:(i + 1) * self.batch_size])
+
+        def worker(wid):
+            wrng = np.random.default_rng(self.rng.integers(2**31) + wid)
+            while True:
+                try:
+                    idxs = idx_q.get_nowait()
+                except queue.Empty:
+                    return
+                samples = [load_pair_sample(self.roidb[j], self.cfg, wrng)
+                           for j in idxs]
+                q.put(collate_train_batch(samples, self.bucket_hw, self.max_gt))
+
+        threads = [threading.Thread(target=worker, args=(w,), daemon=True)
+                   for w in range(self.num_workers)]
+        for t in threads:
+            t.start()
+        for _ in range(nb):
+            yield q.get()
+
+
+class TestLoader:
+    """Frame-by-frame video iterator with the key-frame schedule
+    (core/loader.py:24-141). Yields dicts the StreamingDetector consumes."""
+
+    def __init__(self, video_roidb, cfg, bucket_hw=None):
+        self.roidb = video_roidb          # one rec per video (seg_len frames)
+        self.cfg = cfg
+        self.bucket_hw = bucket_hw or tuple(cfg.tpu.default_bucket)
+        self.key_interval = cfg.TEST.KEY_FRAME_INTERVAL
+
+    def __iter__(self):
+        cfg = self.cfg
+        means = cfg.network.PIXEL_MEANS
+        pscale = cfg.network.PIXEL_SCALE
+        target, max_size = cfg.SCALES[0]
+        fb = (self.bucket_hw[0] // 16, self.bucket_hw[1] // 16)
+        for vid_idx, rec in enumerate(self.roidb):
+            n = rec["frame_seg_len"]
+            video = rec.get("video_path")
+            use_video = video is not None and coviar.available()
+            for fid in range(n):
+                if fid == 0:
+                    flag = 0
+                elif fid % self.key_interval == 0:
+                    flag = 1
+                else:
+                    flag = 2
+                mv = res = None
+                if use_video and fid < coviar.get_num_frames(video):
+                    gop, pos = fid // GOP_SIZE, fid % GOP_SIZE
+                    im = coviar.load(video, gop, pos, 0).astype(np.float32)
+                    if flag == 2:
+                        mv = -coviar.load(video, gop, pos, 1).astype(np.float32)
+                        res = coviar.load(video, gop, pos, 2).astype(np.float32)
+                else:
+                    im = _read_jpeg_bgr(rec["pattern"] % fid)
+                im_r, im_scale = resize(im, target, max_size)
+                data = pad_to_bucket(transform(im_r, means, pscale),
+                                     self.bucket_hw)
+                if mv is None:
+                    h, w = im.shape[:2]
+                    mv = np.zeros((h, w, 2), np.float32)
+                    res = np.zeros((h, w, 3), np.float32)
+                mv_t, res_t = transform_mv_res(mv, res, im_scale, means,
+                                               pscale)
+                yield {
+                    "video_index": vid_idx, "frame_id": fid, "flag": flag,
+                    "data": data,
+                    "im_info": np.asarray(
+                        [[im_r.shape[0], im_r.shape[1], im_scale]], np.float32),
+                    "motion_vector": pad_to_bucket(mv_t, fb),
+                    "res_diff": pad_to_bucket(res_t, fb),
+                }

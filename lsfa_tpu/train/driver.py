@@ -1,0 +1,144 @@
+"""End-to-end training driver — the train_net equivalent.
+
+Behavioral target: dff_rfcn/train_end2end.py:58-173 — build model, load
+DET+VID roidb, construct the loader, pretrained init, optimizer with the
+warmup multifactor schedule, epoch loop with Speedometer + per-epoch
+checkpoints, resume support.
+
+TPU redesign: MutableModule/DataParallelExecutorGroup/kvstore are replaced
+by one jitted data-parallel train step over a Mesh (train_step.py); the
+epoch loop is a thin host loop that feeds prefetched fixed-shape batches.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from lsfa_tpu.data.dataset import (
+    ImageNetVID,
+    append_flipped,
+    filter_roidb,
+    merge_roidb,
+)
+from lsfa_tpu.data.loader import TrainLoader
+from lsfa_tpu.models.lsfa import lsfa_from_config
+from lsfa_tpu.parallel import make_mesh
+from lsfa_tpu.train.checkpoint import load_checkpoint, save_checkpoint, seed_small_net
+from lsfa_tpu.train.schedule import make_optimizer
+from lsfa_tpu.train.train_step import TrainSettings, make_train_step
+from lsfa_tpu.utils import Speedometer, create_logger
+
+
+def load_train_roidb(cfg):
+    """DET+VID merged roidb with flip augmentation
+    (train_end2end.py:76-81)."""
+    sets = cfg.dataset.image_set.split("+")
+    roidbs = []
+    for s in sets:
+        ds = ImageNetVID(s, cfg.dataset.root_path, cfg.dataset.dataset_path)
+        r = ds.gt_roidb()
+        for rec in r:
+            if "pattern" in rec:
+                rec["video_path"] = ds.video_path(
+                    {"path": os.path.relpath(
+                        os.path.dirname(rec["image"]),
+                        os.path.join(cfg.dataset.dataset_path, "Data", "VID"))})
+        if cfg.TRAIN.FLIP:
+            r = append_flipped(r)
+        roidbs.append(r)
+    return filter_roidb(merge_roidb(roidbs))
+
+
+def init_model(cfg, rng_seed: int = 0):
+    """Init the LSFA model variables at the configured bucket."""
+    model = lsfa_from_config(cfg)
+    h, w = cfg.tpu.default_bucket
+    fh, fw = h // 16, w // 16
+    rng = jax.random.PRNGKey(rng_seed)
+    data = jnp.zeros((1, h, w, 3), jnp.float32)
+    mv = jnp.zeros((1, fh, fw, 2), jnp.float32)
+    res = jnp.zeros((1, fh, fw, 3), jnp.float32)
+    variables = model.init(rng, data, data, data, jnp.ones((1,)),
+                           jnp.ones((1,)), mv, res)
+    params = seed_small_net(variables["params"])
+    return model, params, variables.get("batch_stats", {})
+
+
+def train_net(cfg, roidb=None, ckpt_dir: str | None = None,
+              logger=None, max_steps: int | None = None):
+    """Run the full training recipe. Returns (params, batch_stats)."""
+    if logger is None:
+        logger, out_dir = create_logger(cfg.output_path, cfg.symbol,
+                                        cfg.dataset.image_set)
+        ckpt_dir = ckpt_dir or os.path.join(out_dir, "checkpoints")
+    if roidb is None:
+        roidb = load_train_roidb(cfg)
+
+    mesh = make_mesh()
+    n_dev = len(mesh.devices.reshape(-1))
+    batch = cfg.TRAIN.BATCH_IMAGES * n_dev
+    loader = TrainLoader(roidb, cfg, batch)
+    steps_per_epoch = len(loader)
+    lr_steps = [int(float(e) * steps_per_epoch)
+                for e in str(cfg.TRAIN.lr_step).split(",")]
+
+    model, params, batch_stats = init_model(cfg)
+    optimizer = make_optimizer(
+        params, base_lr=cfg.TRAIN.lr, lr_steps=lr_steps,
+        lr_factor=cfg.TRAIN.lr_factor, momentum=cfg.TRAIN.momentum,
+        wd=cfg.TRAIN.wd, warmup=cfg.TRAIN.warmup,
+        warmup_lr=cfg.TRAIN.warmup_lr, warmup_step=cfg.TRAIN.warmup_step)
+    opt_state = optimizer.init(params)
+
+    begin_epoch = cfg.TRAIN.begin_epoch
+    if cfg.TRAIN.RESUME and ckpt_dir:
+        restored, step = load_checkpoint(
+            ckpt_dir, template={"params": params, "batch_stats": batch_stats,
+                                "opt_state": opt_state})
+        params = restored["params"]
+        batch_stats = restored["batch_stats"]
+        opt_state = restored["opt_state"]
+        begin_epoch = step
+        logger.info(f"resumed from epoch {step}")
+
+    h, w = cfg.tpu.default_bucket
+    settings = TrainSettings.from_config(cfg)
+    train_step = make_train_step(model, settings, (h // 16, w // 16), optimizer)
+
+    # replicate params, shard batches
+    rsh = NamedSharding(mesh, P())
+    bsh = NamedSharding(mesh, P("data"))
+    params = jax.device_put(params, rsh)
+    batch_stats = jax.device_put(batch_stats, rsh)
+    opt_state = jax.tree.map(
+        lambda x: jax.device_put(x, rsh) if hasattr(x, "shape") else x,
+        opt_state)
+
+    speedo = Speedometer(batch, cfg.default.frequent, logger)
+    rng = jax.random.PRNGKey(42)
+    step_count = 0
+    for epoch in range(begin_epoch, cfg.TRAIN.end_epoch):
+        for bi, host_batch in enumerate(loader):
+            dev_batch = jax.tree.map(
+                lambda x: jax.device_put(x, bsh), host_batch)
+            rng, sub = jax.random.split(rng)
+            params, opt_state, metrics = train_step(
+                params, batch_stats, opt_state, dev_batch, sub)
+            speedo(step_count, metrics)
+            step_count += 1
+            if max_steps is not None and step_count >= max_steps:
+                logger.info("max_steps reached, stopping early")
+                if ckpt_dir:
+                    save_checkpoint(ckpt_dir, epoch + 1, params, batch_stats,
+                                    opt_state)
+                return params, batch_stats
+        if ckpt_dir:
+            save_checkpoint(ckpt_dir, epoch + 1, params, batch_stats, opt_state)
+            logger.info(f"checkpointed epoch {epoch + 1}")
+    return params, batch_stats
