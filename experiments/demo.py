@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Streaming demo: run LSFA over an MPEG-4 clip and write annotated frames.
+
+Reference role: dff_rfcn/demo.py (key/cur streaming over frames) — but
+driven by the compressed stream directly (MV/residual from the video, no
+JPEG directory needed).
+
+Usage:
+  python experiments/demo.py --cfg configs/lsfa_resnet101_vid.yaml \
+      --video clip.mp4 --out out_frames/ [--ckpt <dir>] [--synthesize]
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cfg", required=True)
+    ap.add_argument("--video", required=True)
+    ap.add_argument("--out", default="demo_out")
+    ap.add_argument("--ckpt", default=None)
+    ap.add_argument("--max-frames", type=int, default=48)
+    ap.add_argument("--synthesize", action="store_true",
+                    help="create a synthetic test clip at --video first")
+    args = ap.parse_args()
+
+    from lsfa_tpu.config import load_config
+    from lsfa_tpu.data import coviar
+    from lsfa_tpu.data.image import pad_to_bucket, resize, transform, transform_mv_res
+    from lsfa_tpu.eval.tester import StreamingDetector, collect_detections
+    from lsfa_tpu.train.checkpoint import load_checkpoint
+    from lsfa_tpu.train.driver import init_model
+    from lsfa_tpu.utils.vis import draw_detections
+
+    cfg = load_config(args.cfg)
+    if args.synthesize:
+        coviar.encode_test_video(args.video, n_frames=args.max_frames,
+                                 w=320, h=240, gop_size=12, seed=0)
+    model, params, batch_stats = init_model(cfg)
+    if args.ckpt:
+        restored, _ = load_checkpoint(args.ckpt)
+        params = restored["params"]
+        batch_stats = restored.get("batch_stats", batch_stats)
+    variables = {"params": params, "batch_stats": batch_stats}
+
+    bucket = tuple(cfg.tpu.default_bucket)
+    det = StreamingDetector(model, variables, cfg, bucket)
+    os.makedirs(args.out, exist_ok=True)
+    n = min(coviar.get_num_frames(args.video), args.max_frames)
+    target, max_size = cfg.SCALES[0]
+    fb = (bucket[0] // 16, bucket[1] // 16)
+    for fid in range(n):
+        gop, pos = fid // 12, fid % 12
+        im = coviar.load(args.video, gop, pos, 0).astype(np.float32)
+        flag = det.key_frame_flag(fid)
+        mv = -coviar.load(args.video, gop, pos, 1).astype(np.float32)
+        res = coviar.load(args.video, gop, pos, 2).astype(np.float32)
+        im_r, im_scale = resize(im, target, max_size)
+        data = pad_to_bucket(
+            transform(im_r, cfg.network.PIXEL_MEANS, cfg.network.PIXEL_SCALE),
+            bucket)
+        mv_t, res_t = transform_mv_res(mv, res, im_scale,
+                                       cfg.network.PIXEL_MEANS,
+                                       cfg.network.PIXEL_SCALE)
+        im_info = np.asarray([[im_r.shape[0], im_r.shape[1], im_scale]],
+                             np.float32)
+        d, v = det.process_frame(data, im_info, pad_to_bucket(mv_t, fb),
+                                 pad_to_bucket(res_t, fb), flag=flag)
+        frame_rgb = im[:, :, ::-1]  # BGR -> RGB
+        out = draw_detections(frame_rgb, collect_detections(d, v))
+        out.save(os.path.join(args.out, f"{fid:06d}.png"))
+        print(f"frame {fid} flag={flag} dets={int(np.asarray(v).sum())}")
+
+
+if __name__ == "__main__":
+    main()

@@ -202,7 +202,7 @@ class TrainLoader:
             yield q.get()
 
 
-class TestLoader:
+class EvalLoader:
     """Frame-by-frame video iterator with the key-frame schedule
     (core/loader.py:24-141). Yields dicts the StreamingDetector consumes."""
 

@@ -1,0 +1,128 @@
+"""Dataset + loader tests over a synthesized miniature ILSVRC tree."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from lsfa_tpu.config import get_default_config
+from lsfa_tpu.data import coviar
+from lsfa_tpu.data.dataset import ImageNetVID, append_flipped, filter_roidb
+from lsfa_tpu.data.image import resize, transform, transform_mv_res
+from lsfa_tpu.data.loader import EvalLoader, TrainLoader
+
+W, H = 128, 96
+SEG_LEN = 24
+
+
+def write_xml(path, w, h, boxes):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    objs = "".join(
+        f"<object><name>{wnid}</name><bndbox>"
+        f"<xmin>{x1}</xmin><ymin>{y1}</ymin><xmax>{x2}</xmax><ymax>{y2}</ymax>"
+        f"</bndbox></object>"
+        for wnid, x1, y1, x2, y2 in boxes)
+    with open(path, "w") as f:
+        f.write(f"<annotation><size><width>{w}</width><height>{h}</height>"
+                f"</size>{objs}</annotation>")
+
+
+@pytest.fixture(scope="module")
+def mini_dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ilsvrc")
+    dpath = root / "ILSVRC2015"
+    vid_dir = "train/vid_a"
+    # imageset: VID-style lines "path frame_id seg_id seg_len"
+    iset = dpath / "ImageSets"
+    os.makedirs(iset)
+    with open(iset / "VID_train_15frames.txt", "w") as f:
+        for fid in (2, 7, 13):
+            f.write(f"{vid_dir} 1 {fid} {SEG_LEN}\n")
+    with open(iset / "VID_val_videos.txt", "w") as f:
+        f.write(f"{vid_dir} 1 0 {SEG_LEN}\n")
+    # frames + annotations
+    for fid in range(SEG_LEN):
+        img = np.full((H, W, 3), (fid * 8) % 255, np.uint8)
+        p = dpath / "Data" / "VID" / vid_dir / f"{fid:06d}.JPEG"
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        Image.fromarray(img).save(p)
+        write_xml(str(dpath / "Annotations" / "VID" / vid_dir / f"{fid:06d}.xml"),
+                  W, H, [("n02691156", 10, 10, 60, 50)])
+    # compressed snippet
+    if coviar.available():
+        vp = dpath / "Data" / "VID" / "mpeg4_snippets" / (vid_dir + ".mp4")
+        os.makedirs(os.path.dirname(vp), exist_ok=True)
+        coviar.encode_test_video(str(vp), n_frames=SEG_LEN, w=W, h=H,
+                                 gop_size=12, seed=3)
+    return str(root), str(dpath), vid_dir
+
+
+def test_dataset_parse_and_roidb(mini_dataset):
+    root, dpath, vid_dir = mini_dataset
+    ds = ImageNetVID("VID_train_15frames", root, dpath)
+    assert ds.num_images == 3
+    roidb = ds.gt_roidb(use_cache=False)
+    rec = roidb[0]
+    assert rec["height"] == H and rec["width"] == W
+    assert rec["gt_classes"].tolist() == [1]        # airplane
+    np.testing.assert_allclose(rec["boxes"][0], [10, 10, 60, 50])
+    assert rec["frame_seg_len"] == SEG_LEN
+    # flip augmentation mirrors boxes
+    flipped = append_flipped(roidb)
+    assert len(flipped) == 6
+    fb = flipped[3]["boxes"][0]
+    np.testing.assert_allclose(fb, [W - 60 - 1, 10, W - 10 - 1, 50])
+    assert len(filter_roidb(flipped)) == 6
+
+
+def test_preprocessing_shapes():
+    im = np.random.default_rng(0).uniform(0, 255, (H, W, 3)).astype(np.float32)
+    out, scale = resize(im, 60, 100)
+    assert min(out.shape[:2]) == 60 or max(out.shape[:2]) == 100
+    t = transform(out, [103.0, 116.0, 123.0], 1.0)
+    assert t.shape == (1, out.shape[0], out.shape[1], 3)
+    mv = np.zeros((H, W, 2), np.float32)
+    res = np.zeros((H, W, 3), np.float32)
+    mv_t, res_t = transform_mv_res(mv, res, scale, [103.0, 116.0, 123.0])
+    assert mv_t.shape[-1] == 2 and res_t.shape[-1] == 3
+    assert mv_t.shape[1] == int(np.ceil(out.shape[0] / 16))
+
+
+def test_train_loader_batches(mini_dataset):
+    root, dpath, vid_dir = mini_dataset
+    cfg = get_default_config()
+    cfg.SCALES = [(60, 104)]
+    cfg.tpu.default_bucket = (64, 112)
+    ds = ImageNetVID("VID_train_15frames", root, dpath)
+    roidb = ds.gt_roidb(use_cache=False)
+    for rec in roidb:
+        rec["video_path"] = os.path.join(dpath, "Data", "VID",
+                                         "mpeg4_snippets", vid_dir + ".mp4")
+    loader = TrainLoader(roidb, cfg, batch_size=2, num_workers=1)
+    batch = next(iter(loader))
+    assert batch["data"].shape == (2, 64, 112, 3)
+    assert batch["data_ref"].shape == (2, 64, 112, 3)
+    assert batch["motion_vector"].shape == (2, 4, 7, 2)
+    assert batch["res_diff"].shape == (2, 4, 7, 3)
+    assert batch["gt_boxes"].shape == (2, 100, 5)
+    assert batch["gt_valid"].sum() == 2
+    assert np.isfinite(batch["data"]).all()
+
+
+def test_test_loader_schedule(mini_dataset):
+    root, dpath, vid_dir = mini_dataset
+    cfg = get_default_config()
+    cfg.SCALES = [(60, 104)]
+    cfg.tpu.default_bucket = (64, 112)
+    ds = ImageNetVID("VID_val_videos", root, dpath)
+    roidb = ds.gt_roidb(use_cache=False)
+    for rec in roidb:
+        rec["video_path"] = os.path.join(dpath, "Data", "VID",
+                                         "mpeg4_snippets", vid_dir + ".mp4")
+    loader = EvalLoader(roidb, cfg)
+    flags = [item["flag"] for item in loader]
+    assert len(flags) == SEG_LEN
+    assert flags[0] == 0
+    assert flags[12] == 1
+    assert all(f == 2 for i, f in enumerate(flags) if i % 12 != 0)

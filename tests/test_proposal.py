@@ -68,5 +68,6 @@ def test_rpn_proposals_fixed_output_shape():
     # padded slots hold a repeat of the last kept roi (never garbage)
     nvalid = int(np.asarray(valid).sum())
     if nvalid < 300:
-        np.testing.assert_allclose(np.asarray(rois)[nvalid:],
-                                   np.asarray(rois)[nvalid - 1])
+        pad = np.asarray(rois)[nvalid:]
+        np.testing.assert_allclose(
+            pad, np.tile(np.asarray(rois)[nvalid - 1], (len(pad), 1)))
