@@ -19,6 +19,9 @@ import numpy as np
 
 
 def main():
+    from lsfa_tpu.utils.env import setup_cache
+
+    setup_cache()
     import jax
     import jax.numpy as jnp
 
@@ -41,33 +44,39 @@ def main():
     det = StreamingDetector(model, variables, cfg, (h, w))
 
     rnd = np.random.default_rng(0)
-    frame = rnd.normal(0, 60, size=(1, h, w, 3)).astype(np.float32)
+    # realistic host-side payloads: uint8 key frame, small non-key frame
+    frame = rnd.integers(0, 255, size=(1, h, w, 3), dtype=np.uint8)
+    s = cfg.network.small_net_stride
+    small = np.clip(np.round(frame.astype(np.float32).reshape(
+        1, h // s, s, w // s, s, 3).mean((2, 4))), 0, 255).astype(np.uint8)
     im_info = np.asarray([[600.0, 936.0, 1.6]], np.float32)
     mv = rnd.normal(0, 1.5, size=(1, fh, fw, 2)).astype(np.float32)
     res = rnd.normal(0, 8, size=(1, fh, fw, 3)).astype(np.float32)
 
     interval = cfg.TEST.KEY_FRAME_INTERVAL
+    n_cur = interval - 1
+    smalls = np.repeat(small, n_cur, axis=0)
+    mvs = np.repeat(mv, n_cur, axis=0)
+    ress = np.repeat(res, n_cur, axis=0)
 
-    def run_gop():
-        outs = []
-        det.frame_id = 0
-        d, v = det.process_frame(frame, im_info, flag=0)
-        outs.append(d)
-        for _ in range(interval - 1):
-            d, v = det.process_frame(frame, im_info, mv, res, flag=2)
-            outs.append(d)
-        jax.block_until_ready(outs[-1])
-        return outs
+    def run_gop(first=False):
+        """GOP-batched mode: 1 key step + 1 batched non-key step.
+        Identical outputs to per-frame streaming (non-key frames carry no
+        recurrence), reference pattern: get_batch_test_symbol."""
+        kd, kv, cd, cv = det.process_gop(frame, smalls, mvs, ress, im_info,
+                                         first=first)
+        jax.block_until_ready(cd)
+        return cd
 
     # warmup (compile both paths)
     det.reset()
-    run_gop()
+    run_gop(first=True)
 
     n_gops = 8
     det.reset()
     t0 = time.perf_counter()
-    for _ in range(n_gops):
-        run_gop()
+    for i in range(n_gops):
+        run_gop(first=(i == 0))
     dt = time.perf_counter() - t0
     fps = n_gops * interval / dt
 

@@ -97,12 +97,13 @@ def load_pair_sample(rec, cfg, rng: np.random.Generator):
         res = res[:, ::-1]
 
     target, max_size = cfg.SCALES[0]
+    # raw resized BGR — normalization (transform) runs ON DEVICE
     im_r, im_scale = resize(im, target, max_size)
     ref_r, _ = resize(ref, target, max_size)
     old_r, _ = resize(old_ref, target, max_size)
-    data = transform(im_r, means, scale)
-    data_ref = transform(ref_r, means, scale)
-    data_old = transform(old_r, means, scale)
+    data = im_r[None].astype(np.float32)
+    data_ref = ref_r[None].astype(np.float32)
+    data_old = old_r[None].astype(np.float32)
     mv_t, res_t = transform_mv_res(mv, res, im_scale, means, scale,
                                    cfg.network.RCNN_FEAT_STRIDE)
 
@@ -239,8 +240,16 @@ class EvalLoader:
                 else:
                     im = _read_jpeg_bgr(rec["pattern"] % fid)
                 im_r, im_scale = resize(im, target, max_size)
-                data = pad_to_bucket(transform(im_r, means, pscale),
-                                     self.bucket_hw)
+                # raw BGR uint8, padded to the bucket (on-device normalize)
+                data = pad_to_bucket(
+                    np.clip(np.round(im_r), 0, 255).astype(np.uint8)[None],
+                    self.bucket_hw)
+                # 1/stride block-mean of the padded frame for the small net
+                s = self.cfg.network.small_net_stride
+                bh, bw = self.bucket_hw
+                small = np.clip(np.round(data.astype(np.float32).reshape(
+                    1, bh // s, s, bw // s, s, 3).mean((2, 4))), 0,
+                    255).astype(np.uint8)
                 if mv is None:
                     h, w = im.shape[:2]
                     mv = np.zeros((h, w, 2), np.float32)
@@ -250,6 +259,7 @@ class EvalLoader:
                 yield {
                     "video_index": vid_idx, "frame_id": fid, "flag": flag,
                     "data": data,
+                    "small": small,
                     "im_info": np.asarray(
                         [[im_r.shape[0], im_r.shape[1], im_scale]], np.float32),
                     "motion_vector": pad_to_bucket(mv_t, fb),

@@ -77,25 +77,21 @@ def postprocess_detections(cls_prob, bbox_deltas, rois, roi_valid, im_info,
     return dets, out_valid
 
 
-def detect_from_maps(out, anchors, im_info, num_classes: int,
-                     pre_nms: int = 6000, post_nms: int = 300,
-                     rpn_nms_thresh: float = 0.7, min_size: int = 0,
-                     feat_stride: int = 16, max_per_image: int = 300,
-                     nms_thresh: float = 0.3, score_thresh: float = 1e-3,
-                     bbox_stds=(0.1, 0.1, 0.2, 0.2)):
-    """From a phase-graph output dict (single image, leading batch dim 1)
-    to final detections. Jit-compatible; composed into the tester's jitted
-    step functions."""
-    fg = out["rpn_fg"][0]
-    deltas = out["rpn_deltas"][0]
+def detect_single(rpn_fg, rpn_deltas, cls_map, bbox_map, anchors, im_info,
+                  num_classes: int,
+                  pre_nms: int = 6000, post_nms: int = 300,
+                  rpn_nms_thresh: float = 0.7, min_size: int = 0,
+                  feat_stride: int = 16, max_per_image: int = 300,
+                  nms_thresh: float = 0.3, score_thresh: float = 1e-3,
+                  bbox_stds=(0.1, 0.1, 0.2, 0.2)):
+    """Single-image (unbatched maps) detection pipeline. vmap-friendly."""
     rois, _, roi_valid = rpn_proposals(
-        fg, deltas, anchors, im_info,
+        rpn_fg, rpn_deltas, anchors, im_info,
         pre_nms_top_n=pre_nms, post_nms_top_n=post_nms,
         nms_thresh=rpn_nms_thresh, min_size=min_size, feat_stride=feat_stride)
-    pooled_cls = psroi_pool(out["rfcn_cls_map"][0], rois,
-                            output_dim=num_classes,
+    pooled_cls = psroi_pool(cls_map, rois, output_dim=num_classes,
                             spatial_scale=1.0 / feat_stride)
-    pooled_bbox = psroi_pool(out["rfcn_bbox_map"][0], rois, output_dim=8,
+    pooled_bbox = psroi_pool(bbox_map, rois, output_dim=8,
                              spatial_scale=1.0 / feat_stride)
     cls_scores = jnp.mean(pooled_cls, axis=(1, 2))
     bbox_deltas = jnp.mean(pooled_bbox, axis=(1, 2))
@@ -105,3 +101,21 @@ def detect_from_maps(out, anchors, im_info, num_classes: int,
         num_classes=num_classes, max_per_image=max_per_image,
         nms_thresh=nms_thresh, score_thresh=score_thresh,
         bbox_stds=bbox_stds)
+
+
+def detect_from_maps(out, anchors, im_info, **kw):
+    """From a phase-graph output dict (leading batch dim 1) to final
+    detections. Jit-compatible; composed into the tester's jitted steps."""
+    return detect_single(out["rpn_fg"][0], out["rpn_deltas"][0],
+                         out["rfcn_cls_map"][0], out["rfcn_bbox_map"][0],
+                         anchors, im_info, **kw)
+
+
+def detect_batch(out, anchors, im_info, **kw):
+    """vmapped detection over the leading batch dim of a phase-graph
+    output (all frames share im_info)."""
+    return jax.vmap(
+        lambda fg, dl, cm, bm: detect_single(fg, dl, cm, bm, anchors,
+                                             im_info, **kw)
+    )(out["rpn_fg"], out["rpn_deltas"], out["rfcn_cls_map"],
+      out["rfcn_bbox_map"])

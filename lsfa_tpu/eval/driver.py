@@ -59,7 +59,7 @@ def eval_videos(model, variables, cfg, video_roidb, det_cache: str | None = None
         with timer.phase("net"):
             d, v = det.process_frame(item["data"], item["im_info"],
                                      item["motion_vector"], item["res_diff"],
-                                     flag=item["flag"])
+                                     flag=item["flag"], small=item["small"])
         with timer.phase("post"):
             detections[frame_counter] = collect_detections(d, v)
         timer.tick()

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from lsfa_tpu.eval.detector import detect_from_maps
+from lsfa_tpu.eval.detector import detect_batch, detect_from_maps
 from lsfa_tpu.ops.anchors import anchor_grid
 
 
@@ -68,19 +68,32 @@ class StreamingDetector:
                               is_first, method=model.forward_key)
             dets, valid = detect_from_maps(out, self._anchors, im_info[0],
                                            **det_kw)
-            return out["feat"], dets, valid
+            return out["feat"], out["prep"], dets, valid
 
         @jax.jit
-        def cur_step(variables, data, feat_key, motion_vector, res_diff,
+        def cur_step(variables, small_img, feat_key, motion_vector, res_diff,
                      im_info):
-            out = model.apply(variables, data, feat_key, motion_vector,
+            out = model.apply(variables, small_img, feat_key, motion_vector,
                               res_diff, method=model.forward_cur)
             dets, valid = detect_from_maps(out, self._anchors, im_info[0],
                                            **det_kw)
             return dets, valid
 
+        @jax.jit
+        def cur_batch_step(variables, small_imgs, feat_key, motion_vectors,
+                           res_diffs, im_info):
+            """All non-key frames of a GOP in one call. Exact: non-key
+            frames depend only on the key feature + their own MV/residual
+            (no recurrence among them), so batching == streaming."""
+            n = small_imgs.shape[0]
+            fk = jnp.broadcast_to(feat_key, (n,) + feat_key.shape[1:])
+            out = model.apply(variables, small_imgs, fk, motion_vectors,
+                              res_diffs, method=model.forward_cur)
+            return detect_batch(out, self._anchors, im_info[0], **det_kw)
+
         self._key_step = key_step
         self._cur_step = cur_step
+        self._cur_batch_step = cur_batch_step
         self.reset()
 
     def reset(self):
@@ -100,31 +113,65 @@ class StreamingDetector:
             return 1
         return 2
 
-    def process_frame(self, data, im_info, motion_vector=None, res_diff=None,
-                      flag: int | None = None):
-        """Run one frame. data: (B, H, W, 3); im_info: (B, 3);
-        motion_vector/res_diff: (B, fh, fw, {2,3}) for non-key frames.
+    def process_gop(self, key_frame, smalls, motion_vectors, res_diffs,
+                    im_info, first: bool = False):
+        """Throughput mode: one key frame + its (N-1) non-key frames in two
+        device calls (1 key step + 1 batched cur step). Identical results
+        to per-frame streaming; amortizes dispatch and keeps the MXU fed.
 
-        Returns (dets (max_per_image, 6) np.ndarray view, valid mask)."""
+        key_frame: (1, H, W, 3) raw BGR; smalls: (N-1, H/s, W/s, 3);
+        motion_vectors: (N-1, fh, fw, 2); res_diffs: (N-1, fh, fw, 3).
+
+        Returns (key_dets, key_valid, cur_dets (N-1, M, 6), cur_valids)."""
+        im_info = jnp.asarray(im_info)
+        is_first = jnp.full((self.batch,), 1.0 if first else 0.0)
+        feat, prep, kd, kv = self._key_step(
+            self.variables, jnp.asarray(key_frame), self.data_key,
+            self.feat_key, is_first, im_info)
+        self.feat_key = feat
+        self.data_key = prep
+        cd, cv = self._cur_batch_step(
+            self.variables, jnp.asarray(smalls), feat,
+            jnp.asarray(motion_vectors), jnp.asarray(res_diffs), im_info)
+        self.frame_id += 1 + smalls.shape[0]
+        return kd, kv, cd, cv
+
+    def process_frame(self, data, im_info, motion_vector=None, res_diff=None,
+                      flag: int | None = None, small=None):
+        """Run one frame.
+
+        data: (B, H, W, 3) RAW resized BGR (uint8 preferred — 4x less
+          host->device traffic; normalization is on-device). Needed only on
+          key frames; non-key frames only ship `small` + MV/residual.
+        small: (B, H/stride, W/stride, 3) downscaled frame for non-key
+          frames (derived from `data` on the host if omitted).
+        im_info: (B, 3); motion_vector/res_diff: (B, fh, fw, {2,3}).
+
+        Returns (dets (max_per_image, 6), valid mask) device tensors."""
         if flag is None:
             flag = self.key_frame_flag(self.frame_id)
-        data = jnp.asarray(data)
         im_info = jnp.asarray(im_info)
         if flag in (0, 1):
             is_first = jnp.full((self.batch,), 1.0 if flag == 0 else 0.0)
-            feat, dets, valid = self._key_step(
-                self.variables, data, self.data_key, self.feat_key,
-                is_first, im_info)
+            feat, prep, dets, valid = self._key_step(
+                self.variables, jnp.asarray(data), self.data_key,
+                self.feat_key, is_first, im_info)
             self.feat_key = feat
-            self.data_key = data
+            self.data_key = prep          # cached on device, never re-shipped
         else:
             fh, fw = self.feat_hw
+            if small is None:
+                s = self.cfg.network.small_net_stride
+                small = np.asarray(data, np.float32)[
+                    :, : (data.shape[1] // s) * s, : (data.shape[2] // s) * s]
+                small = small.reshape(small.shape[0], small.shape[1] // s, s,
+                                      small.shape[2] // s, s, 3).mean((2, 4))
             mv = (jnp.asarray(motion_vector) if motion_vector is not None
                   else jnp.zeros((self.batch, fh, fw, 2)))
             rd = (jnp.asarray(res_diff) if res_diff is not None
                   else jnp.zeros((self.batch, fh, fw, 3)))
-            dets, valid = self._cur_step(self.variables, data, self.feat_key,
-                                         mv, rd, im_info)
+            dets, valid = self._cur_step(self.variables, jnp.asarray(small),
+                                         self.feat_key, mv, rd, im_info)
         self.frame_id += 1
         return dets, valid
 

@@ -52,6 +52,10 @@ class LSFA(nn.Module):
     anchor_means: Sequence[float] = (0.0, 0.0, 0.0, 0.0)
     anchor_stds: Sequence[float] = (0.1, 0.1, 0.4, 0.4)
     normalize_rpn: bool = True
+    # on-device preprocessing: inputs are raw resized BGR frames (uint8 or
+    # float); normalization happens on device so hosts ship 4x less data
+    pixel_means: Sequence[float] = (0.0, 0.0, 0.0)   # BGR order
+    pixel_scale: float = 1.0
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -106,6 +110,14 @@ class LSFA(nn.Module):
 
     # ------- building blocks -------
 
+    def preprocess(self, img_bgr):
+        """Raw resized BGR frame (uint8/float NHWC) -> normalized RGB f32.
+        The device-side replacement for lib/utils/image.py:296-308; hosts
+        ship uint8 (4x less tunnel/PCIe traffic)."""
+        x = img_bgr.astype(jnp.float32)[..., ::-1]
+        means = jnp.asarray(self.pixel_means, jnp.float32)[::-1]
+        return (x - means) * self.pixel_scale
+
     def conv_feat(self, ims, train: bool = False):
         """Backbone + shared dilated 3x3 -> the 1024-ch DFF feature
         (reference get_resnet_v1 :44-55)."""
@@ -124,9 +136,15 @@ class LSFA(nn.Module):
         return 0.5 * (warped + fresh_feat)
 
     def short_term_propagate(self, key_feat, motion_vector, res_diff,
-                             cur_img=None, train: bool = False):
+                             cur_img=None, small_img=None,
+                             train: bool = False):
         """MV warp + R-net residual mapping + optional small-net fusion
-        (reference :319-336, :570-586)."""
+        (reference :319-336, :570-586).
+
+        `small_img` (preprocessed, already 1/stride-downscaled) takes
+        precedence over `cur_img` (full-res, downscaled on device) — at
+        inference the host ships only the small image (~16x fewer pixels).
+        """
         warped = flow_warp(key_feat, motion_vector)
         r = self.rnet(res_diff, train)
         if self.fuse_type == "add":
@@ -137,9 +155,11 @@ class LSFA(nn.Module):
             raise ValueError(self.fuse_type)
         if "conv" in self.fnet_type:
             fused = self.fnet(fused)
-        if self.add_small_net and cur_img is not None:
-            small_in = self.small_fuse.downscale(cur_img)
-            parts = self.small_backbone(small_in, train)
+        if self.add_small_net:
+            if small_img is None:
+                assert cur_img is not None
+                small_img = self.small_fuse.downscale(cur_img)
+            parts = self.small_backbone(small_img, train)
             small_feat = parts[0] if self.small_net_stride == 4 else parts[1]
             fused = self.small_fuse(fused, small_feat, train)
         return fused
@@ -182,10 +202,14 @@ class LSFA(nn.Module):
                       motion_vector, res_diff):
         """Training forward to the head maps (reference :277-341).
 
-        All inputs batched (B leading). eq_flag/eq_flag_old: (B,) float/int;
+        All inputs batched (B leading); images are RAW resized BGR frames
+        (uint8 or float) — normalization happens on device.
         eq_flag==1 means cur==key (use the fresh aggregated key feature
         directly); eq_flag_old==1 means old-ref==ref.
         """
+        data = self.preprocess(data)
+        data_ref = self.preprocess(data_ref)
+        data_ref_old = self.preprocess(data_ref_old)
         b = data.shape[0]
         both = jnp.concatenate([data_ref, data_ref_old], axis=0)
         feats = self.conv_feat(both, train=True)
@@ -216,10 +240,14 @@ class LSFA(nn.Module):
     def forward_key(self, data, data_key_old, feat_key_old, is_first):
         """Key-frame inference (reference get_key_test_symbol :448-551).
 
+        `data` is the RAW resized BGR frame; `data_key_old` is the CACHED
+        preprocessed previous key frame (a device-resident tensor the
+        caller got back from the previous key step — never re-shipped).
         is_first: (B,) — on the first frame of a stream the cached old
         feature is a dummy; substitute the fresh feature
         (ChooseOldKeyFeat, operator_py/choose_old_key_feat.py).
         """
+        data = self.preprocess(data)
         b = data.shape[0]
         fresh = self.conv_feat(data, train=False)
         first = (is_first > 0).reshape(b, 1, 1, 1)
@@ -231,16 +259,20 @@ class LSFA(nn.Module):
         cls_map, bbox_map = self.rfcn_maps(rfcn_feat)
         return {
             "feat": feat,
+            "prep": data,
             "rpn_fg": self.rpn_fg_probs(rpn_cls),
             "rpn_deltas": self.rpn_decode_deltas(rpn_bbox),
             "rfcn_cls_map": cls_map, "rfcn_bbox_map": bbox_map,
         }
 
-    def forward_cur(self, data, feat_key, motion_vector, res_diff):
+    def forward_cur(self, small_img, feat_key, motion_vector, res_diff):
         """Non-key inference (reference get_cur_test_symbol :553-659) —
-        no backbone, no flownet: MV warp + R-net + small net only."""
-        feat = self.short_term_propagate(feat_key, motion_vector, res_diff,
-                                         cur_img=data, train=False)
+        no backbone, no flownet: MV warp + R-net + small net only.
+        `small_img` is the RAW already-downscaled (1/small_net_stride) BGR
+        frame — the full-resolution image never reaches the device."""
+        feat = self.short_term_propagate(
+            feat_key, motion_vector, res_diff,
+            small_img=self.preprocess(small_img), train=False)
         rpn_feat, rfcn_feat = self._split(feat)
         rpn_cls, rpn_bbox = self.rpn_head(rpn_feat)
         cls_map, bbox_map = self.rfcn_maps(rfcn_feat)
@@ -254,7 +286,10 @@ class LSFA(nn.Module):
     def forward_batch_gop(self, data_key, data_other):
         """Batched-GOP inference (reference get_batch_test_symbol :661-751):
         one key frame + N-1 non-key frames in a single forward, DFF-style
-        (flow warp only). data_key: (1, H, W, 3); data_other: (N-1, H, W, 3)."""
+        (flow warp only). data_key: (1, H, W, 3); data_other: (N-1, H, W, 3),
+        both RAW resized BGR."""
+        data_key = self.preprocess(data_key)
+        data_other = self.preprocess(data_other)
         feat_key = self.conv_feat(data_key, train=False)
         n = data_other.shape[0]
         key_t = jnp.broadcast_to(feat_key, (n,) + feat_key.shape[1:])
@@ -304,5 +339,7 @@ def lsfa_from_config(cfg):
         anchor_means=tuple(n.ANCHOR_MEANS),
         anchor_stds=tuple(n.ANCHOR_STDS),
         normalize_rpn=n.NORMALIZE_RPN,
+        pixel_means=tuple(float(m) for m in n.PIXEL_MEANS),
+        pixel_scale=float(n.PIXEL_SCALE),
         dtype=jnp.bfloat16 if cfg.tpu.compute_dtype == "bfloat16" else jnp.float32,
     )

@@ -26,6 +26,8 @@ class RFCN(nn.Module):
     anchor_means: Sequence[float] = (0.0, 0.0, 0.0, 0.0)
     anchor_stds: Sequence[float] = (0.1, 0.1, 0.4, 0.4)
     normalize_rpn: bool = True
+    pixel_means: Sequence[float] = (0.0, 0.0, 0.0)   # BGR
+    pixel_scale: float = 1.0
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -63,6 +65,10 @@ class RFCN(nn.Module):
         return deltas * std + mean
 
     def __call__(self, data, train: bool = False):
+        # raw resized BGR in (uint8/float); normalize on device
+        x = data.astype(jnp.float32)[..., ::-1]
+        means = jnp.asarray(self.pixel_means, jnp.float32)[::-1]
+        data = (x - means) * self.pixel_scale
         parts = self.backbone(data, train)
         feat = nn.relu(self.feat_conv_3x3(parts[-1]))
         half = self.feat_dim // 2

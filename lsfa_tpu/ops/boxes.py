@@ -86,6 +86,26 @@ def clip_boxes(boxes, im_hw):
     return jnp.stack([x1, y1, x2, y2], axis=-1).reshape(shp)
 
 
+def iou_transform(ex_rois, gt_rois):
+    """IoU-loss regression target = the gt box itself
+    (parity: lib/bbox/bbox_transform.py:143-146)."""
+    return gt_rois
+
+
+def iou_pred(boxes, deltas):
+    """IoU-loss decoding: per-corner additive offsets
+    (parity: lib/bbox/bbox_transform.py:149-181)."""
+    shp = deltas.shape[:-1] + (-1, 4)
+    d = deltas.reshape(shp)
+    out = jnp.stack([
+        d[..., 0] + boxes[..., 0][..., None],
+        d[..., 1] + boxes[..., 1][..., None],
+        d[..., 2] + boxes[..., 2][..., None],
+        d[..., 3] + boxes[..., 3][..., None],
+    ], axis=-1)
+    return out.reshape(deltas.shape)
+
+
 def pairwise_iou(boxes_a, boxes_b):
     """IoU matrix (N, M) under the +1 convention.
 

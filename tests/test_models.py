@@ -81,11 +81,11 @@ def test_lsfa_cur_frame_forward(lsfa_and_params):
     model, variables = lsfa_and_params
     rng = np.random.default_rng(1)
     fh, fw = H // 16, W // 16
-    data = jnp.asarray(rng.normal(size=(1, H, W, 3)).astype(np.float32))
+    small = jnp.asarray(rng.normal(size=(1, H // 4, W // 4, 3)).astype(np.float32))
     feat_key = jnp.asarray(rng.normal(size=(1, fh, fw, 64)).astype(np.float32))
     mv = jnp.asarray(rng.normal(0, 1, size=(1, fh, fw, 2)).astype(np.float32))
     res = jnp.asarray(rng.normal(size=(1, fh, fw, 3)).astype(np.float32))
-    out = model.apply(variables, data, feat_key, mv, res,
+    out = model.apply(variables, small, feat_key, mv, res,
                       method=model.forward_cur)
     assert out["feat"].shape == (1, fh, fw, 64)
     assert np.isfinite(np.asarray(out["rpn_fg"])).all()

@@ -1,0 +1,113 @@
+"""Integration: streaming key/non-key inference over a synthetic stream."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lsfa_tpu.config import get_default_config
+from lsfa_tpu.eval.tester import StreamingDetector, collect_detections
+from lsfa_tpu.models.lsfa import LSFA
+
+H, W = 64, 96
+
+
+@pytest.fixture(scope="module")
+def detector():
+    cfg = get_default_config()
+    cfg.dataset.NUM_CLASSES = 5
+    cfg.network.DFF_FEAT_DIM = 64
+    cfg.network.num_layer = 18
+    cfg.network.add_dcn = False
+    cfg.tpu.default_bucket = (H, W)
+    cfg.TEST.RPN_PRE_NMS_TOP_N = 128
+    cfg.TEST.RPN_POST_NMS_TOP_N = 32
+    cfg.TEST.max_per_image = 20
+    model = LSFA(num_classes=5, feat_dim=64, num_layer=18, add_dcn=False)
+    rng = jax.random.PRNGKey(0)
+    data = jnp.zeros((1, H, W, 3))
+    mv = jnp.zeros((1, H // 16, W // 16, 2))
+    res = jnp.zeros((1, H // 16, W // 16, 3))
+    variables = model.init(rng, data, data, data, jnp.ones((1,)),
+                           jnp.ones((1,)), mv, res)
+    return StreamingDetector(model, variables, cfg, (H, W))
+
+
+def test_streaming_two_gops(detector):
+    det = detector
+    det.reset()
+    rng = np.random.default_rng(0)
+    im_info = np.asarray([[H - 4.0, W - 6.0, 1.0]], np.float32)
+    flags_seen = []
+    for fid in range(26):
+        frame = rng.normal(0, 40, (1, H, W, 3)).astype(np.float32)
+        flag = det.key_frame_flag(fid)
+        flags_seen.append(flag)
+        mv = rng.normal(0, 0.5, (1, H // 16, W // 16, 2)).astype(np.float32)
+        res = rng.normal(0, 5, (1, H // 16, W // 16, 3)).astype(np.float32)
+        d, v = det.process_frame(frame, im_info, mv, res)
+        d = np.asarray(d)
+        assert d.shape == (20, 6)
+        assert np.isfinite(d).all()
+        out = collect_detections(d, v)
+        # labels in range, boxes inside the (original-coordinate) image
+        assert all(1 <= l <= 4 for l in out["labels"])
+        if len(out["boxes"]):
+            assert out["boxes"][:, 0].min() >= 0
+            assert out["boxes"][:, 2].max() <= W - 1
+    # schedule: key at 0 (bootstrap), 12, 24
+    assert flags_seen[0] == 0
+    assert flags_seen[12] == 1 and flags_seen[24] == 1
+    assert flags_seen[1] == 2 and flags_seen[13] == 2
+    # feature cache is live and finite
+    assert np.isfinite(np.asarray(det.feat_key)).all()
+
+
+def test_gop_batched_equals_streaming(detector):
+    """process_gop (1 key step + 1 batched non-key step) must reproduce
+    per-frame streaming exactly — non-key frames carry no recurrence."""
+    det = detector
+    rng = np.random.default_rng(7)
+    im_info = np.asarray([[H - 2.0, W - 2.0, 1.0]], np.float32)
+    key = rng.normal(0, 40, (1, H, W, 3)).astype(np.float32)
+    n = 3
+    s = 4
+    frames = rng.normal(0, 40, (n, H, W, 3)).astype(np.float32)
+    smalls = frames.reshape(n, H // s, s, W // s, s, 3).mean((2, 4))
+    mvs = rng.normal(0, 0.5, (n, H // 16, W // 16, 2)).astype(np.float32)
+    ress = rng.normal(0, 5, (n, H // 16, W // 16, 3)).astype(np.float32)
+
+    det.reset()
+    d0, v0 = det.process_frame(key, im_info, flag=0)
+    stream = []
+    for i in range(n):
+        d, v = det.process_frame(None, im_info, mvs[i:i + 1], ress[i:i + 1],
+                                 flag=2, small=smalls[i:i + 1])
+        stream.append((np.asarray(d), np.asarray(v)))
+
+    det.reset()
+    kd, kv, cd, cv = det.process_gop(key, smalls, mvs, ress, im_info,
+                                     first=True)
+    np.testing.assert_allclose(np.asarray(kd), np.asarray(d0), atol=1e-5)
+    for i in range(n):
+        np.testing.assert_allclose(np.asarray(cd)[i], stream[i][0],
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(cv)[i], stream[i][1])
+
+
+def test_feature_cache_persistence(detector):
+    """Non-key frames must reuse the key feature (zero MV + zero residual
+    => propagated feature ~ small-net-fused key feature, deterministic)."""
+    det = detector
+    det.reset()
+    rng = np.random.default_rng(1)
+    im_info = np.asarray([[H * 1.0, W * 1.0, 1.0]], np.float32)
+    key_frame = rng.normal(0, 40, (1, H, W, 3)).astype(np.float32)
+    det.process_frame(key_frame, im_info, flag=0)
+    feat_after_key = np.asarray(det.feat_key).copy()
+    cur = rng.normal(0, 40, (1, H, W, 3)).astype(np.float32)
+    det.process_frame(cur, im_info,
+                      np.zeros((1, H // 16, W // 16, 2), np.float32),
+                      np.zeros((1, H // 16, W // 16, 3), np.float32), flag=2)
+    # the cache must NOT be overwritten by a non-key frame
+    np.testing.assert_array_equal(np.asarray(det.feat_key), feat_after_key)
