@@ -54,6 +54,35 @@ class DeformConv2d(nn.Module):
                            groups=self.groups)
 
 
+class NonLocalBlock(nn.Module):
+    """Embedded-gaussian non-local block (optional backbone insert;
+    reference: dff_rfcn/symbols/resnet.py:41-68, embedded_gaussian mode)."""
+
+    features: int
+    compress: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        mid = self.features // 2
+        x1 = conv(x, mid, 1, name="conv_x1", dtype=self.dtype)
+        x2 = conv(x, mid, 1, name="conv_x2", dtype=self.dtype)
+        g = conv(x, mid, 1, name="conv_g", dtype=self.dtype)
+        if self.compress:
+            x1 = nn.max_pool(x1, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+            g = nn.max_pool(g, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        q = x2.reshape(b, h * w, mid).astype(jnp.float32)
+        k = x1.reshape(b, -1, mid).astype(jnp.float32)
+        v = g.reshape(b, -1, mid).astype(jnp.float32)
+        att = nn.softmax(jnp.einsum("bqc,bkc->bqk", q, k,
+                                    preferred_element_type=jnp.float32), axis=-1)
+        y = jnp.einsum("bqk,bkc->bqc", att, v).reshape(b, h, w, mid)
+        y = conv(y.astype(self.dtype), self.features, 1, name="conv_y",
+                 dtype=self.dtype)
+        return x + y
+
+
 class PreactUnit(nn.Module):
     """Full pre-activation residual unit (bn-relu-conv x3 bottleneck or x2
     basic); shortcut taken from the first post-activation when dims change
@@ -116,6 +145,7 @@ class ResNetBackbone(nn.Module):
     num_deformable_group: Sequence[int] = (0, 0, 0, 0)
     frozen_bn: bool = True
     num_stages: int = 4   # build only the first k stages (small-net trunk)
+    non_local: bool = False   # insert a non-local block late in stage 3
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -163,6 +193,9 @@ class ResNetBackbone(nn.Module):
                     dtype=self.dtype,
                     name=f"stage{s + 1}_unit{u + 1}",
                 )(x, train)
+                if (self.non_local and s == 2 and u == n_units - 2):
+                    x = NonLocalBlock(filters[s], dtype=self.dtype,
+                                      name="non_local")(x)
             parts.append(x)
 
         if self.num_stages == 4:

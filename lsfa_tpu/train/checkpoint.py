@@ -73,6 +73,34 @@ def seed_small_net(params):
     return params
 
 
+def combine_checkpoints(params, sources: dict[str, dict]):
+    """Merge pretrained subtrees into a fresh param tree (the role of
+    lib/utils/combine_model.py — ResNet + FlowNet merged into one init).
+
+    sources: {top_level_module_name: param_subtree}. Leaves are copied
+    where the paths and shapes match; returns (params, n_copied)."""
+    params = jax.tree.map(lambda x: x, params)
+    copied = 0
+
+    def merge(dst, src):
+        nonlocal copied
+        for k, v in src.items():
+            if k not in dst:
+                continue
+            if isinstance(v, dict) and isinstance(dst[k], dict):
+                dst[k] = dict(dst[k])
+                merge(dst[k], v)
+            elif hasattr(v, "shape") and tuple(v.shape) == tuple(dst[k].shape):
+                dst[k] = v
+                copied += 1
+        return dst
+
+    for top, sub in sources.items():
+        if top in params:
+            params[top] = merge(dict(params[top]), sub)
+    return params, copied
+
+
 def import_torch_resnet(params, batch_stats, state_dict: dict[str, Any],
                         prefix: str = "backbone"):
     """Map a torchvision ResNet state_dict onto the backbone param tree.
