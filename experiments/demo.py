@@ -32,7 +32,7 @@ def main():
 
     from lsfa_tpu.config import load_config
     from lsfa_tpu.data import coviar
-    from lsfa_tpu.data.image import pad_to_bucket, resize, transform, transform_mv_res
+    from lsfa_tpu.data.image import pad_to_bucket, resize, transform_mv_res
     from lsfa_tpu.eval.tester import StreamingDetector, collect_detections
     from lsfa_tpu.train.checkpoint import load_checkpoint
     from lsfa_tpu.train.driver import init_model
@@ -62,9 +62,9 @@ def main():
         mv = -coviar.load(args.video, gop, pos, 1).astype(np.float32)
         res = coviar.load(args.video, gop, pos, 2).astype(np.float32)
         im_r, im_scale = resize(im, target, max_size)
+        # raw resized BGR uint8; normalization happens on device
         data = pad_to_bucket(
-            transform(im_r, cfg.network.PIXEL_MEANS, cfg.network.PIXEL_SCALE),
-            bucket)
+            np.clip(np.round(im_r), 0, 255).astype(np.uint8)[None], bucket)
         mv_t, res_t = transform_mv_res(mv, res, im_scale,
                                        cfg.network.PIXEL_MEANS,
                                        cfg.network.PIXEL_SCALE)
