@@ -113,7 +113,13 @@ def detect_from_maps(out, anchors, im_info, **kw):
 
 def detect_batch(out, anchors, im_info, **kw):
     """vmapped detection over the leading batch dim of a phase-graph
-    output (all frames share im_info)."""
+    output. im_info: (3,) shared across the batch, or (B, 3) per-lane."""
+    if im_info.ndim == 2:
+        return jax.vmap(
+            lambda fg, dl, cm, bm, ii: detect_single(fg, dl, cm, bm, anchors,
+                                                     ii, **kw)
+        )(out["rpn_fg"], out["rpn_deltas"], out["rfcn_cls_map"],
+          out["rfcn_bbox_map"], im_info)
     return jax.vmap(
         lambda fg, dl, cm, bm: detect_single(fg, dl, cm, bm, anchors,
                                              im_info, **kw)

@@ -1,0 +1,150 @@
+"""Multi-stream (lane-batched) evaluation.
+
+The reference parallelizes inference by giving each GPU a process and a
+shard of videos (function/test_rcnn.py:69-75, tester.py:301-312). The
+TPU-native equivalent: run B video streams as a batch dimension through
+ONE set of jitted programs — the device-resident key-feature cache gets a
+lane axis, and every step processes B frames at once. Sharding the lane
+axis over a mesh extends this across chips/hosts.
+
+Lockstep scheduling: every video is padded to a multiple of the key-frame
+interval, so all lanes are always at the same position within a GOP and
+share one flag per step; a lane that starts a new video at a key step
+raises its own is_first bootstrap flag (the per-lane ChooseOldKeyFeat).
+Padding frames are marked invalid and their detections discarded.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from lsfa_tpu.data import coviar
+from lsfa_tpu.data.image import pad_to_bucket, resize, transform_mv_res
+from lsfa_tpu.data.loader import GOP_SIZE, _read_jpeg_bgr
+from lsfa_tpu.eval.tester import StreamingDetector
+
+
+def build_lane_playlists(video_roidb, lanes: int, interval: int):
+    """Greedy length-balanced lane assignment; each video padded to a
+    multiple of `interval`. Returns per-lane lists of
+    (video_idx, frame_id, real)."""
+    order = np.argsort([-r["frame_seg_len"] for r in video_roidb])
+    playlists = [[] for _ in range(lanes)]
+    loads = np.zeros(lanes)
+    for vi in order:
+        n = video_roidb[vi]["frame_seg_len"]
+        padded = int(np.ceil(n / interval) * interval)
+        lane = int(np.argmin(loads))
+        pl = playlists[lane]
+        for f in range(padded):
+            fid = min(f, n - 1)
+            pl.append((int(vi), fid, f < n))
+        loads[lane] += padded
+    return playlists
+
+
+class MultiStreamEvalLoader:
+    """Yields lockstep lane-batched frames for StreamingDetector(batch=B)."""
+
+    def __init__(self, video_roidb, cfg, lanes: int = 4, bucket_hw=None):
+        self.roidb = video_roidb
+        self.cfg = cfg
+        self.lanes = lanes
+        self.bucket_hw = bucket_hw or tuple(cfg.tpu.default_bucket)
+        self.interval = cfg.TEST.KEY_FRAME_INTERVAL
+        self.playlists = build_lane_playlists(video_roidb, lanes,
+                                              self.interval)
+        self.n_steps = max(len(p) for p in self.playlists)
+
+    def _frame(self, rec, fid):
+        cfg = self.cfg
+        video = rec.get("video_path")
+        if video is not None and coviar.available() \
+                and fid < coviar.get_num_frames(video):
+            gop, pos = fid // GOP_SIZE, fid % GOP_SIZE
+            im = coviar.load(video, gop, pos, 0).astype(np.float32)
+            mv = -coviar.load(video, gop, pos, 1).astype(np.float32)
+            res = coviar.load(video, gop, pos, 2).astype(np.float32)
+        else:
+            im = _read_jpeg_bgr(rec["pattern"] % fid)
+            mv = np.zeros(im.shape[:2] + (2,), np.float32)
+            res = np.zeros(im.shape[:2] + (3,), np.float32)
+        return im, mv, res
+
+    def __iter__(self):
+        cfg = self.cfg
+        target, max_size = cfg.SCALES[0]
+        bh, bw = self.bucket_hw
+        fb = (bh // 16, bw // 16)
+        s = cfg.network.small_net_stride
+        prev_video = [-1] * self.lanes
+        for t in range(self.n_steps):
+            flag = 0 if t == 0 else (1 if t % self.interval == 0 else 2)
+            datas, smalls, mvs, ress, infos = [], [], [], [], []
+            lane_meta = []
+            is_first = np.zeros(self.lanes, np.float32)
+            for l in range(self.lanes):
+                pl = self.playlists[l]
+                vi, fid, real = pl[min(t, len(pl) - 1)]
+                real = real and t < len(pl)
+                rec = self.roidb[vi]
+                im, mv, res = self._frame(rec, fid)
+                im_r, im_scale = resize(im, target, max_size)
+                data = pad_to_bucket(
+                    np.clip(np.round(im_r), 0, 255).astype(np.uint8)[None],
+                    self.bucket_hw)
+                small = np.clip(np.round(data.astype(np.float32).reshape(
+                    1, bh // s, s, bw // s, s, 3).mean((2, 4))), 0,
+                    255).astype(np.uint8)
+                mv_t, res_t = transform_mv_res(
+                    mv, res, im_scale, cfg.network.PIXEL_MEANS,
+                    cfg.network.PIXEL_SCALE)
+                datas.append(data)
+                smalls.append(small)
+                mvs.append(pad_to_bucket(mv_t, fb))
+                ress.append(pad_to_bucket(res_t, fb))
+                infos.append([im_r.shape[0], im_r.shape[1], im_scale])
+                lane_meta.append((vi, fid, real))
+                if flag in (0, 1) and vi != prev_video[l]:
+                    is_first[l] = 1.0
+                    prev_video[l] = vi
+            yield {
+                "flag": flag,
+                "is_first": is_first,
+                "data": np.concatenate(datas),
+                "small": np.concatenate(smalls),
+                "motion_vector": np.concatenate(mvs),
+                "res_diff": np.concatenate(ress),
+                "im_info": np.asarray(infos, np.float32),
+                "lane_meta": lane_meta,
+            }
+
+
+def eval_videos_multistream(model, variables, cfg, video_roidb,
+                            lanes: int = 4, logger=None,
+                            max_steps: int | None = None):
+    """Lane-batched streaming detection. Returns
+    {(video_idx, frame_id) -> {labels, scores, boxes}}."""
+    log = logger.info if logger else print
+    h, w = cfg.tpu.default_bucket
+    det = StreamingDetector(model, variables, cfg, (h, w), batch=lanes)
+    loader = MultiStreamEvalLoader(video_roidb, cfg, lanes=lanes)
+    detections = {}
+    for step, item in enumerate(loader):
+        d, v = det.process_frame(
+            item["data"], item["im_info"], item["motion_vector"],
+            item["res_diff"], flag=item["flag"], small=item["small"],
+            is_first=item["is_first"])
+        d = np.asarray(d)
+        v = np.asarray(v)
+        for l, (vi, fid, real) in enumerate(item["lane_meta"]):
+            if not real:
+                continue
+            dl = d[l][v[l]]
+            detections[(vi, fid)] = {
+                "labels": dl[:, 0].astype(int), "scores": dl[:, 1],
+                "boxes": dl[:, 2:6]}
+        if max_steps is not None and step + 1 >= max_steps:
+            break
+    log(f"multistream eval: {len(detections)} frames over {lanes} lanes")
+    return detections

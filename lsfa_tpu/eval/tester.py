@@ -66,8 +66,7 @@ class StreamingDetector:
                      im_info):
             out = model.apply(variables, data, data_key_old, feat_key_old,
                               is_first, method=model.forward_key)
-            dets, valid = detect_from_maps(out, self._anchors, im_info[0],
-                                           **det_kw)
+            dets, valid = detect_batch(out, self._anchors, im_info, **det_kw)
             return out["feat"], out["prep"], dets, valid
 
         @jax.jit
@@ -75,8 +74,7 @@ class StreamingDetector:
                      im_info):
             out = model.apply(variables, small_img, feat_key, motion_vector,
                               res_diff, method=model.forward_cur)
-            dets, valid = detect_from_maps(out, self._anchors, im_info[0],
-                                           **det_kw)
+            dets, valid = detect_batch(out, self._anchors, im_info, **det_kw)
             return dets, valid
 
         @jax.jit
@@ -137,22 +135,28 @@ class StreamingDetector:
         return kd, kv, cd, cv
 
     def process_frame(self, data, im_info, motion_vector=None, res_diff=None,
-                      flag: int | None = None, small=None):
-        """Run one frame.
+                      flag: int | None = None, small=None, is_first=None):
+        """Run one frame (possibly B parallel stream lanes).
 
         data: (B, H, W, 3) RAW resized BGR (uint8 preferred — 4x less
           host->device traffic; normalization is on-device). Needed only on
           key frames; non-key frames only ship `small` + MV/residual.
         small: (B, H/stride, W/stride, 3) downscaled frame for non-key
           frames (derived from `data` on the host if omitted).
-        im_info: (B, 3); motion_vector/res_diff: (B, fh, fw, {2,3}).
+        im_info: (B, 3) per-lane; motion_vector/res_diff: (B, fh, fw, {2,3}).
+        is_first: optional (B,) per-lane bootstrap flags (a lane restarts
+          its feature recurrence when its video changes); defaults to the
+          scalar key_frame_flag schedule.
 
-        Returns (dets (max_per_image, 6), valid mask) device tensors."""
+        Returns (dets (B, max_per_image, 6), valid (B, max_per_image))."""
         if flag is None:
             flag = self.key_frame_flag(self.frame_id)
         im_info = jnp.asarray(im_info)
         if flag in (0, 1):
-            is_first = jnp.full((self.batch,), 1.0 if flag == 0 else 0.0)
+            if is_first is None:
+                is_first = jnp.full((self.batch,), 1.0 if flag == 0 else 0.0)
+            else:
+                is_first = jnp.asarray(is_first, jnp.float32)
             feat, prep, dets, valid = self._key_step(
                 self.variables, jnp.asarray(data), self.data_key,
                 self.feat_key, is_first, im_info)
@@ -177,10 +181,12 @@ class StreamingDetector:
 
 
 def collect_detections(dets, valid) -> dict:
-    """Convert a frame's fixed-size detection tensor to the structured form
-    vid_eval consumes."""
+    """Convert a frame's fixed-size detection tensor ((M, 6) or (1, M, 6))
+    to the structured form vid_eval consumes."""
     d = np.asarray(dets)
     v = np.asarray(valid)
+    if d.ndim == 3:
+        d, v = d[0], v[0]
     d = d[v]
     return {"labels": d[:, 0].astype(int), "scores": d[:, 1],
             "boxes": d[:, 2:6]}

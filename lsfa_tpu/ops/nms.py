@@ -3,19 +3,24 @@
 Exactly reproduces greedy hard-NMS (parity target: the pure-NumPy oracle
 at lib/nms/nms.py:37-74) but as a fixed-shape, jit-compatible program:
 
-  1. sort boxes by score (descending, stable),
+  1. sort boxes by score (descending, stable) — skipped when the caller
+     already provides rank order (`presorted`, e.g. straight out of
+     lax.top_k in the proposal op),
   2. build the strict-upper-triangular suppression mask
-     sup[i, j] = (i < j) & (IoU(i, j) > thresh),
-  3. iterate  alive <- valid & ~(aliveᵀ · sup)  to fixpoint.
+     sup[i, j] = (i < j) & (IoU(i, j) > thresh), stored bf16 (0/1 exact),
+  3. iterate  alive <- valid & ~(aliveᵀ · sup)  to fixpoint,
+  4. compact the alive set to `max_out` slots with a cumsum scatter
+     (no extra sort).
 
 Step 3 is the classic iterated-suppression formulation: starting from
 alive = valid, each sweep re-derives which boxes are suppressed by a
-*currently alive* higher-scored box. The fixpoint equals the greedy NMS
-keep-set, and is reached in at most (longest suppression chain) sweeps —
-typically < 10. Each sweep is one (N,) x (N, N) matmul, which maps onto
-the MXU instead of the data-dependent scan a sequential greedy loop would
-need. This replaces both the CUDA bitmask kernel (lib/nms/nms_kernel.cu)
-and the thrust-sorted MultiProposal NMS (dff_rfcn/operator_cxx/multi_proposal.cu:262).
+*currently alive* higher-scored box. Any fixpoint equals the greedy NMS
+keep-set (induction on rank), and it is reached in at most
+(longest suppression chain) sweeps — typically < 10. Each sweep is one
+(N,) x (N, N) matmul on the MXU instead of the data-dependent scan a
+sequential greedy loop would need. This replaces both the CUDA bitmask
+kernel (lib/nms/nms_kernel.cu) and the thrust-sorted MultiProposal NMS
+(dff_rfcn/operator_cxx/multi_proposal.cu:262).
 """
 
 from __future__ import annotations
@@ -26,8 +31,34 @@ import jax.numpy as jnp
 from lsfa_tpu.ops.boxes import pairwise_iou
 
 
+def _greedy_alive(boxes_sorted, valid_sorted, iou_thresh, max_iters):
+    """Fixpoint sweep on rank-sorted boxes. Returns (N,) alive mask."""
+    n = boxes_sorted.shape[0]
+    iou = pairwise_iou(boxes_sorted, boxes_sorted)
+    idx = jnp.arange(n)
+    upper = idx[:, None] < idx[None, :]
+    sup = jnp.where(upper & (iou > iou_thresh), 1.0, 0.0).astype(jnp.bfloat16)
+
+    def sweep(state):
+        alive, prev, it = state
+        hit = jax.lax.dot(alive.astype(jnp.bfloat16)[None], sup,
+                          precision=jax.lax.Precision.DEFAULT,
+                          preferred_element_type=jnp.float32)[0]
+        new_alive = valid_sorted & (hit == 0.0)
+        return new_alive, alive, it + 1
+
+    def cond(state):
+        alive, prev, it = state
+        return jnp.logical_and(it < max_iters, jnp.any(alive != prev))
+
+    alive, _, _ = jax.lax.while_loop(
+        cond, sweep, (valid_sorted, jnp.zeros_like(valid_sorted), 0))
+    return alive
+
+
 def nms_fixed(boxes, scores, iou_thresh: float, max_out: int,
-              valid=None, max_iters: int | None = None):
+              valid=None, max_iters: int | None = None,
+              presorted: bool = False):
     """Greedy NMS with static shapes.
 
     Args:
@@ -38,9 +69,10 @@ def nms_fixed(boxes, scores, iou_thresh: float, max_out: int,
       max_out: number of kept indices to emit (padded).
       valid: optional (N,) bool mask of real entries.
       max_iters: fixpoint sweep bound; defaults to N (always exact — any
-        fixpoint of the sweep equals the greedy keep-set, and a chain of
-        length N is the worst case; the while_loop exits early at the
-        fixpoint, typically < 10 sweeps).
+        fixpoint of the sweep equals the greedy keep-set; the while_loop
+        exits early at the fixpoint, typically < 10 sweeps).
+      presorted: input is already in descending-score order with invalid
+        entries at the tail (e.g. output of lax.top_k) — skips the sort.
 
     Returns:
       keep_idx: (max_out,) int32 indices into the *input* order, sorted by
@@ -53,37 +85,26 @@ def nms_fixed(boxes, scores, iou_thresh: float, max_out: int,
         max_iters = n
     if valid is None:
         valid = jnp.ones((n,), dtype=bool)
-    neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
-    masked_scores = jnp.where(valid, scores, neg_inf)
-    order = jnp.argsort(-masked_scores, stable=True)
-    b = boxes[order]
-    v = valid[order]
+    if presorted:
+        order = jnp.arange(n, dtype=jnp.int32)
+        b, v = boxes, valid
+    else:
+        neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
+        masked_scores = jnp.where(valid, scores, neg_inf)
+        order = jnp.argsort(-masked_scores, stable=True)
+        b = boxes[order]
+        v = valid[order]
 
-    iou = pairwise_iou(b, b)
-    idx = jnp.arange(n)
-    upper = idx[:, None] < idx[None, :]
-    sup = jnp.where(upper & (iou > iou_thresh), 1.0, 0.0).astype(jnp.float32)
+    alive = _greedy_alive(b, v, iou_thresh, max_iters)
 
-    def sweep(state):
-        alive, prev, it = state
-        hit = alive.astype(jnp.float32) @ sup          # (N,) #higher alive suppressors
-        new_alive = v & (hit == 0.0)
-        return new_alive, alive, it + 1
-
-    def cond(state):
-        alive, prev, it = state
-        return jnp.logical_and(it < max_iters, jnp.any(alive != prev))
-
-    alive0 = v
-    alive, _, _ = jax.lax.while_loop(cond, sweep, (alive0, jnp.zeros_like(v), 0))
-
-    # top max_out alive entries in score (=position) order
-    alive_rank = jnp.where(alive, idx, n)              # alive keep their rank
-    kept_pos = jnp.sort(alive_rank)
-    if n < max_out:                                    # pad when fewer boxes than slots
-        kept_pos = jnp.concatenate([kept_pos, jnp.full((max_out - n,), n, kept_pos.dtype)])
-    kept_pos = kept_pos[:max_out]                      # ascending rank = desc score
-    keep_valid = kept_pos < n
+    # compact alive ranks into max_out slots via cumsum scatter (no sort):
+    # slot(i) = #alive with rank < i; alive rank i writes itself to slot(i)
+    slot = jnp.cumsum(alive.astype(jnp.int32)) - 1
+    write = alive & (slot < max_out)
+    tgt = jnp.where(write, slot, max_out)            # dumped slot for drops
+    kept_pos = jnp.full((max_out + 1,), -1, jnp.int32).at[tgt].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")[:max_out]
+    keep_valid = kept_pos >= 0
     num_kept = jnp.sum(keep_valid)
     last = jnp.where(num_kept > 0, kept_pos[jnp.maximum(num_kept - 1, 0)], 0)
     kept_pos = jnp.where(keep_valid, kept_pos, last)

@@ -80,9 +80,10 @@ def rpn_proposals(fg_scores, bbox_deltas, anchors, im_info,
     top_boxes = proposals[top_idx]
     top_valid = jnp.isfinite(top_scores)
 
-    # (5) NMS (fixed shape)
+    # (5) NMS (fixed shape; top_k output is already rank-sorted)
     keep_idx, keep_valid = nms_fixed(top_boxes, top_scores, nms_thresh,
-                                     post_nms_top_n, valid=top_valid)
+                                     post_nms_top_n, valid=top_valid,
+                                     presorted=True)
     out_boxes = top_boxes[keep_idx]
     out_scores = jnp.where(keep_valid, top_scores[keep_idx], 0.0)
 

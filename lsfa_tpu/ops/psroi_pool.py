@@ -33,11 +33,71 @@ import jax
 import jax.numpy as jnp
 
 
+def _bin_bounds(rois, h, w, p, spatial_scale):
+    """Integer bin bounds per (roi, cell) — cuda :54-79 semantics."""
+    xs = jnp.round(rois[:, 1]) * spatial_scale
+    ys = jnp.round(rois[:, 2]) * spatial_scale
+    xe = (jnp.round(rois[:, 3]) + 1.0) * spatial_scale
+    ye = (jnp.round(rois[:, 4]) + 1.0) * spatial_scale
+    bin_w = jnp.maximum(xe - xs, 0.1) / p
+    bin_h = jnp.maximum(ye - ys, 0.1) / p
+    ph = jnp.arange(p, dtype=jnp.float32)
+    hs = jnp.clip(jnp.floor(ph[None, :] * bin_h[:, None] + ys[:, None]), 0, h).astype(jnp.int32)
+    he = jnp.clip(jnp.ceil((ph[None, :] + 1.0) * bin_h[:, None] + ys[:, None]), 0, h).astype(jnp.int32)
+    ws_ = jnp.clip(jnp.floor(ph[None, :] * bin_w[:, None] + xs[:, None]), 0, w).astype(jnp.int32)
+    we = jnp.clip(jnp.ceil((ph[None, :] + 1.0) * bin_w[:, None] + xs[:, None]), 0, w).astype(jnp.int32)
+    return hs, he, ws_, we
+
+
 @partial(jax.jit, static_argnames=("output_dim", "group_size", "pooled_size",
                                    "spatial_scale"))
 def psroi_pool(feat, rois, output_dim: int, group_size: int = 7,
                pooled_size: int = 7, spatial_scale: float = 1.0 / 16):
-    """Position-sensitive ROI average pooling.
+    """Position-sensitive ROI average pooling — MXU (matmul) formulation.
+
+    The bin average is separable: with row/col membership indicators
+    r[n,ph,y] and c[n,pw,x], pooled[n,ph,pw,o] =
+        (1/area) * sum_y r[n,ph,y] * sum_x c[n,pw,x] * F[y,x,o,ph,pw]
+    i.e. two einsum contractions that run on the MXU — no per-bin loops
+    and no scalar gathers (the gather/SAT variant below is the latency-
+    bound fallback kept for cross-checking). Exact same sums as the CUDA
+    kernel, reassociated.
+
+    Args / returns: see psroi_pool_sat.
+    """
+    h, w, ch = feat.shape
+    g, p = group_size, pooled_size
+    assert ch == output_dim * g * g, (ch, output_dim, g)
+    assert g == p, "matmul formulation assumes group_size == pooled_size"
+    n = rois.shape[0]
+    f = feat.astype(jnp.float32).reshape(h, w, output_dim, g, g)
+
+    hs, he, ws_, we = _bin_bounds(rois, h, w, p, spatial_scale)
+    ys = jnp.arange(h, dtype=jnp.int32)
+    xs2 = jnp.arange(w, dtype=jnp.int32)
+    row = ((ys[None, None, :] >= hs[:, :, None])
+           & (ys[None, None, :] < he[:, :, None])).astype(jnp.float32)
+    col = ((xs2[None, None, :] >= ws_[:, :, None])
+           & (xs2[None, None, :] < we[:, :, None])).astype(jnp.float32)
+
+    # A[n, q(pw), y, o, p(ph)] = sum_x col[n,q,x] F[y,x,o,p,q]
+    a = jnp.einsum("nqx,yxopq->nqyop", col, f,
+                   preferred_element_type=jnp.float32)
+    # pooled[n, p, q, o] = sum_y row[n,p,y] A[n,q,y,o,p]
+    pooled = jnp.einsum("npy,nqyop->npqo", row, a,
+                        preferred_element_type=jnp.float32)
+
+    area = ((he - hs)[:, :, None] * (we - ws_)[:, None, :]).astype(jnp.float32)
+    empty = area <= 0
+    return jnp.where(empty[..., None], 0.0,
+                     pooled / jnp.maximum(area, 1.0)[..., None])
+
+
+@partial(jax.jit, static_argnames=("output_dim", "group_size", "pooled_size",
+                                   "spatial_scale"))
+def psroi_pool_sat(feat, rois, output_dim: int, group_size: int = 7,
+                   pooled_size: int = 7, spatial_scale: float = 1.0 / 16):
+    """Summed-area-table gather formulation (reference cross-check).
 
     Args:
       feat: (H, W, C) single-image feature, C == output_dim * G * G.

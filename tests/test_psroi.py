@@ -2,7 +2,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+import pytest
+
 from lsfa_tpu.ops import psroi_pool
+from lsfa_tpu.ops.psroi_pool import psroi_pool_sat
 from tests.ref_impl import ref_psroi_pool
 
 
@@ -19,10 +22,11 @@ def make_case(seed, h=12, w=16, output_dim=5, g=7, n=8, scale=1.0 / 16):
     return feat_chw, rois
 
 
-def test_psroi_pool_matches_cuda_semantics():
+@pytest.mark.parametrize("impl", [psroi_pool, psroi_pool_sat])
+def test_psroi_pool_matches_cuda_semantics(impl):
     feat_chw, rois = make_case(0)
     feat_hwc = np.moveaxis(feat_chw, 0, -1)
-    got = psroi_pool(jnp.asarray(feat_hwc), jnp.asarray(rois), output_dim=5)
+    got = impl(jnp.asarray(feat_hwc), jnp.asarray(rois), output_dim=5)
     # got: (N, P, P, out) -> (N, out, P, P)
     got = np.moveaxis(np.asarray(got), -1, 1)
     want = ref_psroi_pool(feat_chw, rois, 5, 7, 7, 1.0 / 16)

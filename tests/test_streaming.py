@@ -47,7 +47,7 @@ def test_streaming_two_gops(detector):
         res = rng.normal(0, 5, (1, H // 16, W // 16, 3)).astype(np.float32)
         d, v = det.process_frame(frame, im_info, mv, res)
         d = np.asarray(d)
-        assert d.shape == (20, 6)
+        assert d.shape == (1, 20, 6)
         assert np.isfinite(d).all()
         out = collect_detections(d, v)
         # labels in range, boxes inside the (original-coordinate) image
@@ -90,9 +90,9 @@ def test_gop_batched_equals_streaming(detector):
                                      first=True)
     np.testing.assert_allclose(np.asarray(kd), np.asarray(d0), atol=1e-5)
     for i in range(n):
-        np.testing.assert_allclose(np.asarray(cd)[i], stream[i][0],
+        np.testing.assert_allclose(np.asarray(cd)[i], stream[i][0][0],
                                    rtol=1e-4, atol=1e-4)
-        np.testing.assert_array_equal(np.asarray(cv)[i], stream[i][1])
+        np.testing.assert_array_equal(np.asarray(cv)[i], stream[i][1][0])
 
 
 def test_feature_cache_persistence(detector):
