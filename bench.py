@@ -50,8 +50,8 @@ def main():
     small = np.clip(np.round(frame.astype(np.float32).reshape(
         1, h // s, s, w // s, s, 3).mean((2, 4))), 0, 255).astype(np.uint8)
     im_info = np.asarray([[600.0, 936.0, 1.6]], np.float32)
-    mv = rnd.normal(0, 1.5, size=(1, fh, fw, 2)).astype(np.float32)
-    res = rnd.normal(0, 8, size=(1, fh, fw, 3)).astype(np.float32)
+    mv = rnd.normal(0, 1.5, size=(1, fh, fw, 2)).astype(np.float16)
+    res = rnd.normal(0, 8, size=(1, fh, fw, 3)).astype(np.float16)
 
     interval = cfg.TEST.KEY_FRAME_INTERVAL
     n_cur = interval - 1
@@ -59,24 +59,31 @@ def main():
     mvs = np.repeat(mv, n_cur, axis=0)
     ress = np.repeat(res, n_cur, axis=0)
 
-    def run_gop(first=False):
+    def stage():
+        """Fresh async host->device uploads for one GOP's inputs."""
+        return (jax.device_put(frame), jax.device_put(smalls),
+                jax.device_put(mvs), jax.device_put(ress))
+
+    def run_gop(inputs, first=False):
         """GOP-batched mode: 1 key step + 1 batched non-key step.
         Identical outputs to per-frame streaming (non-key frames carry no
         recurrence), reference pattern: get_batch_test_symbol."""
-        kd, kv, cd, cv = det.process_gop(frame, smalls, mvs, ress, im_info,
-                                         first=first)
-        jax.block_until_ready(cd)
-        return cd
+        fr, sm, mv_, rs = inputs
+        return det.process_gop(fr, sm, mv_, rs, im_info, first=first)
 
     # warmup (compile both paths)
     det.reset()
-    run_gop(first=True)
+    jax.block_until_ready(run_gop(stage(), first=True)[2])
 
+    # NOTE: overlapping device_put with in-flight compute reproducibly
+    # faults the axon runtime (UNAVAILABLE kernel errors); transfers are
+    # kept sequential with compute here.
     n_gops = 8
     det.reset()
     t0 = time.perf_counter()
     for i in range(n_gops):
-        run_gop(first=(i == 0))
+        out = run_gop(stage(), first=(i == 0))
+        jax.block_until_ready(out[2])
     dt = time.perf_counter() - t0
     fps = n_gops * interval / dt
 
@@ -89,4 +96,26 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import os
+    import subprocess
+    import sys
+    import time as _time
+
+    if os.environ.get("LSFA_BENCH_INNER"):
+        main()
+    else:
+        # the tunneled TPU occasionally reports transient UNAVAILABLE device
+        # errors under sustained load; retry in a FRESH process (a poisoned
+        # backend cannot be re-initialized in-process)
+        env = dict(os.environ, LSFA_BENCH_INNER="1")
+        for attempt in range(3):
+            rc = subprocess.call([sys.executable, os.path.abspath(__file__)],
+                                 env=env)
+            if rc == 0:
+                break
+            print(f"bench attempt {attempt + 1} failed (rc={rc}); "
+                  f"cooling down before retry", file=sys.stderr, flush=True)
+            _time.sleep(120)
+        else:
+            sys.exit(1)
+        sys.exit(0)

@@ -45,9 +45,13 @@ def eval_videos(model, variables, cfg, video_roidb, det_cache: str | None = None
             log(f"loaded detection cache {det_cache}")
             return pickle.load(f)
 
+    from lsfa_tpu.data.prefetch import DevicePrefetcher
+
     h, w = cfg.tpu.default_bucket
     det = StreamingDetector(model, variables, cfg, (h, w))
-    loader = EvalLoader(video_roidb, cfg, bucket_hw=(h, w))
+    loader = DevicePrefetcher(
+        EvalLoader(video_roidb, cfg, bucket_hw=(h, w)), depth=2,
+        keys=("data", "small", "motion_vector", "res_diff", "im_info"))
     timer = PhaseTimer()
     detections = {}
     frame_counter = 0

@@ -125,10 +125,14 @@ def eval_videos_multistream(model, variables, cfg, video_roidb,
                             max_steps: int | None = None):
     """Lane-batched streaming detection. Returns
     {(video_idx, frame_id) -> {labels, scores, boxes}}."""
+    from lsfa_tpu.data.prefetch import DevicePrefetcher
+
     log = logger.info if logger else print
     h, w = cfg.tpu.default_bucket
     det = StreamingDetector(model, variables, cfg, (h, w), batch=lanes)
-    loader = MultiStreamEvalLoader(video_roidb, cfg, lanes=lanes)
+    loader = DevicePrefetcher(
+        MultiStreamEvalLoader(video_roidb, cfg, lanes=lanes), depth=2,
+        keys=("data", "small", "motion_vector", "res_diff", "im_info"))
     detections = {}
     for step, item in enumerate(loader):
         d, v = det.process_frame(
