@@ -109,10 +109,45 @@ class StreamingDetector:
             cd, cv = detect_batch(cout, self._anchors, im_info[0], **det_kw)
             return kout["feat"], kout["prep"], kd, kv, cd, cv
 
+        @jax.jit
+        def scan_gops_step(variables, feat_key0, data_key0, key_frames,
+                           is_firsts, small_imgs, motion_vectors, res_diffs,
+                           im_info):
+            """G GOPs in ONE dispatch: lax.scan over GOPs with the
+            key-feature recurrence as the carry — the whole multi-GOP
+            window runs on device without touching the host. Identical
+            outputs to sequential process_gop (the recurrence order is
+            preserved); amortizes the per-dispatch round-trip over
+            G * interval frames. This is the TPU-native generalization of
+            the reference's get_batch_test_symbol batching."""
+
+            def body(carry, xs):
+                feat_key_old, data_key_old = carry
+                kf, isf, sm, mv, rs = xs
+                kout = model.apply(variables, kf, data_key_old,
+                                   feat_key_old, isf,
+                                   method=model.forward_key)
+                kd, kv = detect_batch(kout, self._anchors, im_info, **det_kw)
+                n = sm.shape[0]
+                fk = jnp.broadcast_to(kout["feat"],
+                                      (n,) + kout["feat"].shape[1:])
+                cout = model.apply(variables, sm, fk, mv, rs,
+                                   method=model.forward_cur)
+                cd, cv = detect_batch(cout, self._anchors, im_info[0],
+                                      **det_kw)
+                return (kout["feat"], kout["prep"]), (kd, kv, cd, cv)
+
+            (feat, prep), outs = jax.lax.scan(
+                body, (feat_key0, data_key0),
+                (key_frames, is_firsts, small_imgs, motion_vectors,
+                 res_diffs))
+            return feat, prep, outs
+
         self._key_step = key_step
         self._cur_step = cur_step
         self._cur_batch_step = cur_batch_step
         self._gop_step = gop_step
+        self._scan_gops_step = scan_gops_step
         self.reset()
 
     def reset(self):
@@ -152,6 +187,29 @@ class StreamingDetector:
         self.data_key = prep
         self.frame_id += 1 + smalls.shape[0]
         return kd, kv, cd, cv
+
+    def process_gops(self, key_frames, smalls, motion_vectors, res_diffs,
+                     im_info, first: bool = False):
+        """Offline/throughput mode: G whole GOPs in ONE dispatch.
+
+        key_frames: (G, B, H, W, 3); smalls: (G, N-1, H/s, W/s, 3);
+        motion_vectors/res_diffs: (G, N-1, fh, fw, {2,3}).
+
+        Returns (key_dets (G, B, M, 6), key_valids, cur_dets (G, N-1, M, 6),
+        cur_valids) — bitwise the same as G sequential process_gop calls."""
+        g = key_frames.shape[0]
+        im_info = jnp.asarray(im_info)
+        is_firsts = jnp.zeros((g, self.batch), jnp.float32)
+        if first:
+            is_firsts = is_firsts.at[0].set(1.0)
+        feat, prep, outs = self._scan_gops_step(
+            self.variables, self.feat_key, self.data_key,
+            jnp.asarray(key_frames), is_firsts, jnp.asarray(smalls),
+            jnp.asarray(motion_vectors), jnp.asarray(res_diffs), im_info)
+        self.feat_key = feat
+        self.data_key = prep
+        self.frame_id += g * (1 + smalls.shape[1])
+        return outs
 
     def process_frame(self, data, im_info, motion_vector=None, res_diff=None,
                       flag: int | None = None, small=None, is_first=None):

@@ -95,6 +95,34 @@ def test_gop_batched_equals_streaming(detector):
         np.testing.assert_array_equal(np.asarray(cv)[i], stream[i][1][0])
 
 
+def test_multi_gop_scan_equals_sequential(detector):
+    """process_gops (lax.scan over G GOPs, one dispatch) must reproduce G
+    sequential process_gop calls — the key recurrence rides the carry."""
+    det = detector
+    rng = np.random.default_rng(11)
+    im_info = np.asarray([[H * 1.0, W * 1.0, 1.0]], np.float32)
+    g, n, s = 3, 2, 4
+    keys = rng.normal(0, 40, (g, 1, H, W, 3)).astype(np.float32)
+    frames = rng.normal(0, 40, (g, n, H, W, 3)).astype(np.float32)
+    smalls = frames.reshape(g, n, H // s, s, W // s, s, 3).mean((3, 5))
+    mvs = rng.normal(0, 0.5, (g, n, H // 16, W // 16, 2)).astype(np.float32)
+    ress = rng.normal(0, 5, (g, n, H // 16, W // 16, 3)).astype(np.float32)
+
+    det.reset()
+    seq = [det.process_gop(keys[i], smalls[i], mvs[i], ress[i], im_info,
+                           first=(i == 0)) for i in range(g)]
+    det.reset()
+    kd, kv, cd, cv = det.process_gops(keys, smalls, mvs, ress, im_info,
+                                      first=True)
+    for i in range(g):
+        np.testing.assert_allclose(np.asarray(kd)[i], np.asarray(seq[i][0]),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(cd)[i], np.asarray(seq[i][2]),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(cv)[i],
+                                      np.asarray(seq[i][3]))
+
+
 def test_feature_cache_persistence(detector):
     """Non-key frames must reuse the key feature (zero MV + zero residual
     => propagated feature ~ small-net-fused key feature, deterministic)."""
