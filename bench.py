@@ -46,7 +46,8 @@ def main():
     rnd = np.random.default_rng(0)
     # realistic host-side payloads: uint8 key frame, small non-key frame
     frame = rnd.integers(0, 255, size=(1, h, w, 3), dtype=np.uint8)
-    s = cfg.network.small_net_stride
+    from lsfa_tpu.data.image import small_pool_factor
+    s = small_pool_factor(cfg.network.small_net_stride)
     small = np.clip(np.round(frame.astype(np.float32).reshape(
         1, h // s, s, w // s, s, 3).mean((2, 4))), 0, 255).astype(np.uint8)
     im_info = np.asarray([[600.0, 936.0, 1.6]], np.float32)

@@ -168,7 +168,9 @@ def get_default_config() -> AttrDict:
     p.default_bucket = (608, 960)
     p.mesh_axes = AttrDict({"data": -1})  # -1 = all devices
     p.max_gt_boxes = 100
-    p.nms_max_iters = 64
+    # RPN NMS runs on the top-k tier of pre-NMS boxes (exact when the tier
+    # yields >= post_nms keeps — see ops/proposal.py). 0 = strict full set.
+    p.nms_tier = 2048
 
     _finalize(c)
     return c

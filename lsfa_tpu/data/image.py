@@ -125,3 +125,10 @@ def load_frame_triplet(video_path: str, frame_id: int, gop_size: int = 12):
     mv = -coviar.load(video_path, gop_id, pos_id, 1).astype(np.float32)
     res = coviar.load(video_path, gop_id, pos_id, 2).astype(np.float32)
     return im, mv, res
+
+
+def small_pool_factor(small_net_stride: int) -> int:
+    """Host-side downscale factor feeding the small net: the model pools
+    4x for stride 4 (backbone stage-1 adds /4) and 2x for stride 8
+    (stage-2 adds /4) — reference fuse_small_net :215-224."""
+    return 4 if small_net_stride == 4 else 2

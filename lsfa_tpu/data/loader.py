@@ -245,7 +245,8 @@ class EvalLoader:
                     np.clip(np.round(im_r), 0, 255).astype(np.uint8)[None],
                     self.bucket_hw)
                 # 1/stride block-mean of the padded frame for the small net
-                s = self.cfg.network.small_net_stride
+                from lsfa_tpu.data.image import small_pool_factor
+                s = small_pool_factor(self.cfg.network.small_net_stride)
                 bh, bw = self.bucket_hw
                 small = np.clip(np.round(data.astype(np.float32).reshape(
                     1, bh // s, s, bw // s, s, 3).mean((2, 4))), 0,

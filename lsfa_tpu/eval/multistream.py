@@ -76,7 +76,8 @@ class MultiStreamEvalLoader:
         target, max_size = cfg.SCALES[0]
         bh, bw = self.bucket_hw
         fb = (bh // 16, bw // 16)
-        s = cfg.network.small_net_stride
+        from lsfa_tpu.data.image import small_pool_factor
+        s = small_pool_factor(cfg.network.small_net_stride)
         prev_video = [-1] * self.lanes
         for t in range(self.n_steps):
             flag = 0 if t == 0 else (1 if t % self.interval == 0 else 2)

@@ -53,6 +53,7 @@ class RFCNDetector:
             nms_thresh=cfg.TEST.NMS,
             score_thresh=cfg.TEST.SCORE_THRESH,
             bbox_stds=tuple(cfg.TRAIN.BBOX_STDS),
+            nms_tier=cfg.tpu.nms_tier,
         )
 
         @jax.jit

@@ -59,6 +59,7 @@ class StreamingDetector:
             nms_thresh=cfg.TEST.NMS,
             score_thresh=cfg.TEST.SCORE_THRESH,
             bbox_stds=tuple(cfg.TRAIN.BBOX_STDS),
+            nms_tier=cfg.tpu.nms_tier,
         )
 
         @jax.jit
@@ -242,7 +243,8 @@ class StreamingDetector:
         else:
             fh, fw = self.feat_hw
             if small is None:
-                s = self.cfg.network.small_net_stride
+                from lsfa_tpu.data.image import small_pool_factor
+                s = small_pool_factor(self.cfg.network.small_net_stride)
                 small = np.asarray(data, np.float32)[
                     :, : (data.shape[1] // s) * s, : (data.shape[2] // s) * s]
                 small = small.reshape(small.shape[0], small.shape[1] // s, s,

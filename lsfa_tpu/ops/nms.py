@@ -82,7 +82,7 @@ def nms_fixed(boxes, scores, iou_thresh: float, max_out: int,
     """
     n = boxes.shape[0]
     if max_iters is None:
-        max_iters = min(n, 32)
+        max_iters = min(n, 16)
     if valid is None:
         valid = jnp.ones((n,), dtype=bool)
     if presorted:

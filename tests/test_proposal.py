@@ -71,3 +71,28 @@ def test_rpn_proposals_fixed_output_shape():
         pad = np.asarray(rois)[nvalid:]
         np.testing.assert_allclose(
             pad, np.tile(np.asarray(rois)[nvalid - 1], (len(pad), 1)))
+
+
+def test_nms_tier_exact_when_enough_keeps():
+    """Tiered RPN NMS must equal the full run whenever the tier yields
+    >= post_nms keeps (prefix-greedy property)."""
+    rng = np.random.default_rng(5)
+    h, w, a = 12, 16, 9
+    anchors = anchor_grid(h, w, 16)
+    fg = rng.uniform(0, 1, (h, w, a)).astype(np.float32)
+    deltas = rng.normal(0, 0.2, (h, w, a * 4)).astype(np.float32)
+    im_info = np.array([h * 16.0, w * 16.0, 1.0], np.float32)
+    full = rpn_proposals(jnp.asarray(fg), jnp.asarray(deltas),
+                         jnp.asarray(anchors), jnp.asarray(im_info),
+                         pre_nms_top_n=1000, post_nms_top_n=60,
+                         nms_thresh=0.7)
+    tier = rpn_proposals(jnp.asarray(fg), jnp.asarray(deltas),
+                         jnp.asarray(anchors), jnp.asarray(im_info),
+                         pre_nms_top_n=1000, post_nms_top_n=60,
+                         nms_thresh=0.7, nms_tier=512)
+    n_tier = int(np.asarray(tier[2]).sum())
+    if n_tier >= 60:
+        np.testing.assert_allclose(np.asarray(tier[0]), np.asarray(full[0]),
+                                   rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(tier[2]),
+                                      np.asarray(full[2]))
