@@ -60,33 +60,39 @@ def main():
     mvs = np.repeat(mv, n_cur, axis=0)
     ress = np.repeat(res, n_cur, axis=0)
 
+    # multi-GOP scan mode: G GOPs per dispatch (lax.scan carries the key
+    # recurrence on device) — identical outputs to per-frame streaming,
+    # amortizes the per-dispatch round-trip (~30 ms on this runtime).
+    G = 4
+    key_frames = np.repeat(frame[None], G, axis=0)          # (G, 1, H, W, 3)
+    g_smalls = np.repeat(smalls[None], G, axis=0)
+    g_mvs = np.repeat(mvs[None], G, axis=0)
+    g_ress = np.repeat(ress[None], G, axis=0)
+
     def stage():
-        """Fresh async host->device uploads for one GOP's inputs."""
-        return (jax.device_put(frame), jax.device_put(smalls),
-                jax.device_put(mvs), jax.device_put(ress))
+        """Fresh async host->device uploads for one window's inputs."""
+        return (jax.device_put(key_frames), jax.device_put(g_smalls),
+                jax.device_put(g_mvs), jax.device_put(g_ress))
 
-    def run_gop(inputs, first=False):
-        """GOP-batched mode: 1 key step + 1 batched non-key step.
-        Identical outputs to per-frame streaming (non-key frames carry no
-        recurrence), reference pattern: get_batch_test_symbol."""
-        fr, sm, mv_, rs = inputs
-        return det.process_gop(fr, sm, mv_, rs, im_info, first=first)
+    def run_window(inputs, first=False):
+        kf, sm, mv_, rs = inputs
+        return det.process_gops(kf, sm, mv_, rs, im_info, first=first)
 
-    # warmup (compile both paths)
+    # warmup (compile)
     det.reset()
-    jax.block_until_ready(run_gop(stage(), first=True)[2])
+    jax.block_until_ready(run_window(stage(), first=True)[2])
 
     # NOTE: overlapping device_put with in-flight compute reproducibly
     # faults the axon runtime (UNAVAILABLE kernel errors); transfers are
     # kept sequential with compute here.
-    n_gops = 8
+    n_windows = 3
     det.reset()
     t0 = time.perf_counter()
-    for i in range(n_gops):
-        out = run_gop(stage(), first=(i == 0))
+    for i in range(n_windows):
+        out = run_window(stage(), first=(i == 0))
         jax.block_until_ready(out[2])
     dt = time.perf_counter() - t0
-    fps = n_gops * interval / dt
+    fps = n_windows * G * interval / dt
 
     print(json.dumps({
         "metric": "lsfa_e2e_inference_fps",

@@ -26,6 +26,9 @@ def draw_detections(image_rgb: np.ndarray, dets: dict,
             continue
         color = class_color(int(lbl))
         x1, y1, x2, y2 = [float(v) for v in box]
+        # decoded boxes can degenerate (predicted width < 1px)
+        x1, x2 = min(x1, x2), max(x1, x2)
+        y1, y2 = min(y1, y2), max(y1, y2)
         dr.rectangle([x1, y1, x2, y2], outline=color, width=2)
         name = CLASS_NAMES[int(lbl)] if int(lbl) < len(CLASS_NAMES) else str(lbl)
         dr.text((x1 + 2, max(y1 - 12, 0)), f"{name} {sc:.2f}", fill=color)

@@ -1,0 +1,77 @@
+"""End-to-end train driver smoke: loader -> sharded train step -> checkpoint.
+
+Exercises the full train_net path (the reference train_end2end.main role)
+on a synthesized miniature dataset."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from lsfa_tpu.config import load_config
+from lsfa_tpu.data import coviar
+from tests.test_data_pipeline import write_xml
+
+W, H = 128, 96
+SEG_LEN = 24
+
+
+@pytest.fixture(scope="module")
+def tiny_env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("tinytrain")
+    dpath = root / "ILSVRC2015"
+    vid_dir = "train/vid_t"
+    iset = dpath / "ImageSets"
+    os.makedirs(iset)
+    with open(iset / "VID_train_15frames.txt", "w") as f:
+        for fid in (3, 9):
+            f.write(f"{vid_dir} 1 {fid} {SEG_LEN}\n")
+    for fid in range(SEG_LEN):
+        img = np.full((H, W, 3), 60, np.uint8)
+        img[20:60, 30:90] = 200
+        p = dpath / "Data" / "VID" / vid_dir / f"{fid:06d}.JPEG"
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        Image.fromarray(img).save(p)
+        write_xml(str(dpath / "Annotations" / "VID" / vid_dir / f"{fid:06d}.xml"),
+                  W, H, [("n02691156", 30, 20, 90, 60)])
+    if coviar.available():
+        vp = dpath / "Data" / "VID" / "mpeg4_snippets" / (vid_dir + ".mp4")
+        os.makedirs(os.path.dirname(vp), exist_ok=True)
+        coviar.encode_test_video(str(vp), n_frames=SEG_LEN, w=W, h=H,
+                                 gop_size=12, seed=7)
+    return str(root), str(dpath), vid_dir
+
+
+def test_train_net_two_steps_and_checkpoint(tiny_env, tmp_path):
+    root, dpath, vid_dir = tiny_env
+    cfg = load_config("configs/lsfa_tiny_smoke.yaml")
+    cfg.dataset.root_path = root
+    cfg.dataset.dataset_path = dpath
+    cfg.TRAIN.FLIP = False
+    # lighter detection shapes for speed
+    cfg.TRAIN.RPN_PRE_NMS_TOP_N = 128
+    cfg.TRAIN.RPN_POST_NMS_TOP_N = 32
+    cfg.TRAIN.BATCH_ROIS_OHEM = 16
+    cfg.tpu.max_gt_boxes = 8
+
+    from lsfa_tpu.data.dataset import ImageNetVID
+    from lsfa_tpu.train.driver import train_net
+
+    ds = ImageNetVID("VID_train_15frames", root, dpath)
+    roidb = ds.gt_roidb(use_cache=False)
+    for rec in roidb:
+        rec["video_path"] = os.path.join(dpath, "Data", "VID",
+                                         "mpeg4_snippets", vid_dir + ".mp4")
+
+    ckpt = str(tmp_path / "ckpt")
+    import logging
+    logger = logging.getLogger("tiny_train")
+    logger.addHandler(logging.NullHandler())
+    params, batch_stats = train_net(cfg, roidb=roidb, ckpt_dir=ckpt,
+                                    logger=logger, max_steps=2)
+    assert params is not None
+    # a checkpoint exists and restores
+    from lsfa_tpu.train.checkpoint import load_checkpoint
+    restored, step = load_checkpoint(ckpt)
+    assert "params" in restored
