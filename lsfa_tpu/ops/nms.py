@@ -95,7 +95,14 @@ def nms_fixed(boxes, scores, iou_thresh: float, max_out: int,
         b = boxes[order]
         v = valid[order]
 
-    alive = _greedy_alive(b, v, iou_thresh, max_iters)
+    # fused Pallas path: IoU build + all sweeps stay in VMEM (16x less HBM
+    # traffic than re-reading the suppression matrix per sweep)
+    if (jax.default_backend() == "tpu" and n % 128 == 0 and n <= 2048):
+        from lsfa_tpu.ops.pallas_nms import greedy_alive_pallas
+
+        alive = greedy_alive_pallas(b, v, iou_thresh, max_iters)
+    else:
+        alive = _greedy_alive(b, v, iou_thresh, max_iters)
 
     # compact alive ranks into max_out slots via cumsum scatter (no sort):
     # slot(i) = #alive with rank < i; alive rank i writes itself to slot(i)
