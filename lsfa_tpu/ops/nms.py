@@ -58,7 +58,7 @@ def _greedy_alive(boxes_sorted, valid_sorted, iou_thresh, num_sweeps):
 
 def nms_fixed(boxes, scores, iou_thresh: float, max_out: int,
               valid=None, max_iters: int | None = None,
-              presorted: bool = False):
+              presorted: bool = False, use_pallas: bool = False):
     """Greedy NMS with static shapes.
 
     Args:
@@ -95,9 +95,12 @@ def nms_fixed(boxes, scores, iou_thresh: float, max_out: int,
         b = boxes[order]
         v = valid[order]
 
-    # fused Pallas path: IoU build + all sweeps stay in VMEM (16x less HBM
-    # traffic than re-reading the suppression matrix per sweep)
-    if (jax.default_backend() == "tpu" and n % 128 == 0 and n <= 2048):
+    # optional fused Pallas path: IoU build + all sweeps stay in VMEM.
+    # Exact-match verified vs the XLA path; measured SLOWER end-to-end
+    # inside the scanned GOP program on v5e (the XLA matvec sweeps pipeline
+    # better with surrounding ops), so it is opt-in rather than default.
+    if (use_pallas and jax.default_backend() == "tpu"
+            and n % 128 == 0 and n <= 2048):
         from lsfa_tpu.ops.pallas_nms import greedy_alive_pallas
 
         alive = greedy_alive_pallas(b, v, iou_thresh, max_iters)
