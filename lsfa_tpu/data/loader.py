@@ -26,12 +26,7 @@ import numpy as np
 from PIL import Image
 
 from lsfa_tpu.data import coviar
-from lsfa_tpu.data.image import (
-    pad_to_bucket,
-    resize,
-    transform,
-    transform_mv_res,
-)
+from lsfa_tpu.data.image import pad_to_bucket, resize, transform_mv_res
 
 GOP_SIZE = 12
 

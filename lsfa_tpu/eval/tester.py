@@ -21,13 +21,11 @@ reference's one-process-per-GPU video sharding (function/test_rcnn.py:69-75).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from lsfa_tpu.eval.detector import detect_batch, detect_from_maps
+from lsfa_tpu.eval.detector import detect_batch
 from lsfa_tpu.ops.anchors import anchor_grid
 
 

@@ -26,7 +26,6 @@ from flax import linen as nn
 
 from lsfa_tpu.models.aggregation import FgfaEmbed, FNet, NqNet, RNet, SmallNetFuse
 from lsfa_tpu.models.flownet import FlowNetS
-from lsfa_tpu.models.layers import conv
 from lsfa_tpu.models.resnet import ResNetBackbone
 from lsfa_tpu.ops.warp import flow_warp
 

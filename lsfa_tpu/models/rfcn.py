@@ -13,7 +13,6 @@ from typing import Any, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from lsfa_tpu.models.layers import conv  # noqa: F401 (API consistency)
 from lsfa_tpu.models.resnet import ResNetBackbone
 
 

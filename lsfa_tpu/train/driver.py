@@ -12,12 +12,10 @@ epoch loop is a thin host loop that feeds prefetched fixed-shape batches.
 
 from __future__ import annotations
 
-import math
 import os
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from lsfa_tpu.data.dataset import (

@@ -16,8 +16,6 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 import optax
@@ -29,7 +27,6 @@ from lsfa_tpu.train.anchor_assign import assign_anchors
 from lsfa_tpu.train.losses import rcnn_losses, rpn_losses
 from lsfa_tpu.train.ohem import ohem_select
 from lsfa_tpu.train.proposal_target import proposal_target
-from lsfa_tpu.train.schedule import make_optimizer
 
 
 @dataclasses.dataclass(frozen=True)
