@@ -49,9 +49,9 @@ class DeformConv2d(nn.Module):
             import jax
             return jax.vmap(lambda xi, oi: deform_conv(
                 xi, oi, w, None, kernel=k, dilate=self.dilate,
-                groups=self.groups))(x, off)
+                groups=self.groups, compute_dtype=self.dtype))(x, off)
         return deform_conv(x, off, w, None, kernel=k, dilate=self.dilate,
-                           groups=self.groups)
+                           groups=self.groups, compute_dtype=self.dtype)
 
 
 class NonLocalBlock(nn.Module):

@@ -24,9 +24,11 @@ import jax
 import jax.numpy as jnp
 
 
-@partial(jax.jit, static_argnames=("kernel", "dilate", "groups"))
+@partial(jax.jit, static_argnames=("kernel", "dilate", "groups",
+                                   "compute_dtype"))
 def deform_conv(x, offsets, weight, bias=None, kernel: int = 3,
-                dilate: int = 1, groups: int = 1):
+                dilate: int = 1, groups: int = 1,
+                compute_dtype=jnp.float32):
     """Deformable conv, stride 1, SAME padding.
 
     Args:
@@ -81,10 +83,11 @@ def deform_conv(x, offsets, weight, bias=None, kernel: int = 3,
                + corner(y0 + 1, x0, wy1 * (1 - wx1))
                + corner(y0 + 1, x0 + 1, wy1 * wx1))          # (H*W, G, K*K, cpg)
 
-    # contract: weight (K, K, Cin, Cout) -> (K*K, G, cpg, Cout)
+    # contract: weight (K, K, Cin, Cout) -> (K*K, G, cpg, Cout); the big
+    # contraction runs in compute_dtype (bf16 on TPU) with f32 accumulation
     cout = weight.shape[-1]
-    wmat = weight.astype(f32).reshape(k * k, g, cpg, cout)
-    out = jnp.einsum("pgtc,tgco->po", sampled, wmat,
+    wmat = weight.astype(compute_dtype).reshape(k * k, g, cpg, cout)
+    out = jnp.einsum("pgtc,tgco->po", sampled.astype(compute_dtype), wmat,
                      preferred_element_type=f32)
     out = out.reshape(h, w, cout)
     if bias is not None:

@@ -65,6 +65,7 @@ int open_decoder(Handle* h, bool export_mvs) {
     if (!codec) return -4;
     h->dec = avcodec_alloc_context3(codec);
     avcodec_parameters_to_context(h->dec, st->codecpar);
+    h->dec->thread_count = 0;                 // auto (frame/slice threading)
     if (export_mvs) {
         AVDictionary* opts = nullptr;
         av_dict_set(&opts, "flags2", "+export_mvs", 0);
@@ -239,6 +240,17 @@ COVIAR_API int coviar_decode_gop(void* hp, int gop_idx, uint8_t* bgr,
     const int w = h->width, hgt = h->height;
     const size_t npx = (size_t)w * hgt;
 
+    // seek straight to the GOP's keyframe (a sync sample) — the reference
+    // loader decoded the whole file prefix for every request
+    bool seeked = false;
+    if (start > 0 && !h->pts.empty() && h->pts[start] != AV_NOPTS_VALUE) {
+        if (av_seek_frame(h->fmt, h->stream_idx, h->pts[start],
+                          AVSEEK_FLAG_BACKWARD) >= 0) {
+            avcodec_flush_buffers(h->dec);
+            seeked = true;
+        }
+    }
+
     std::vector<uint8_t> key_bgr(npx * 3);
     std::vector<uint8_t> cur_bgr(npx * 3);
     std::vector<int32_t> frame_mv(npx * 2), acc(npx * 2), prev_acc(npx * 2, 0);
@@ -249,9 +261,21 @@ COVIAR_API int coviar_decode_gop(void* hp, int gop_idx, uint8_t* bgr,
     int written = 0;
     int rc = 0;
 
+    auto pts_to_idx = [&](int64_t pts) -> int {
+        auto it = std::lower_bound(h->pts.begin(), h->pts.end(), pts);
+        if (it != h->pts.end() && *it == pts)
+            return (int)(it - h->pts.begin());
+        return -1;
+    };
+
     auto handle_frame = [&](AVFrame* f) {
-        int rel = fidx - start;
-        fidx++;
+        int gidx = fidx;
+        if (f->pts != AV_NOPTS_VALUE) {
+            int i = pts_to_idx(f->pts);
+            if (i >= 0) gidx = i;
+        }
+        fidx = gidx + 1;
+        int rel = gidx - start;
         if (rel < 0 || rel >= want) return;
         frame_to_bgr(f, cur_bgr.data(), w, hgt);
         if (rel == 0) {
