@@ -63,7 +63,7 @@ def main():
     # multi-GOP scan mode: G GOPs per dispatch (lax.scan carries the key
     # recurrence on device) — identical outputs to per-frame streaming,
     # amortizes the per-dispatch round-trip (~30 ms on this runtime).
-    G = 8
+    G = 4
     key_frames = np.repeat(frame[None], G, axis=0)          # (G, 1, H, W, 3)
     g_smalls = np.repeat(smalls[None], G, axis=0)
     g_mvs = np.repeat(mvs[None], G, axis=0)
