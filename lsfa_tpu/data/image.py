@@ -127,6 +127,32 @@ def load_frame_triplet(video_path: str, frame_id: int, gop_size: int = 12):
     return im, mv, res
 
 
+def resized_dims(h: int, w: int, target_size: int, max_size: int):
+    """Post-resize dims under the short-side/long-side rule."""
+    smin, smax = min(h, w), max(h, w)
+    im_scale = float(target_size) / smin
+    if round(im_scale * smax) > max_size:
+        im_scale = float(max_size) / smax
+    return int(round(h * im_scale)), int(round(w * im_scale))
+
+
+def pick_bucket(h: int, w: int, buckets, target_size: int, max_size: int):
+    """Smallest configured (H, W) bucket that fits the resized image.
+    Keeps portrait and landscape streams in separate compiled programs
+    instead of one worst-case square bucket."""
+    rh, rw = resized_dims(h, w, target_size, max_size)
+    best = None
+    for bh, bw in buckets:
+        if rh <= bh and rw <= bw:
+            if best is None or bh * bw < best[0] * best[1]:
+                best = (bh, bw)
+    if best is None:
+        raise ValueError(
+            f"no bucket in {list(buckets)} fits resized {rh}x{rw}; add one "
+            f"to cfg.tpu.image_buckets")
+    return best
+
+
 def small_pool_factor(small_net_stride: int) -> int:
     """Host-side downscale factor feeding the small net: the model pools
     4x for stride 4 (backbone stage-1 adds /4) and 2x for stride 8

@@ -35,10 +35,39 @@ def shard_videos(roidb, n_shards: int):
     return shards
 
 
+def group_videos_by_bucket(video_roidb, cfg):
+    """Partition videos by the image bucket their resized frames fit —
+    portrait and landscape streams get separate compiled programs instead
+    of one worst-case bucket (fixed shapes, zero recompiles per group)."""
+    from lsfa_tpu.data import coviar
+    from lsfa_tpu.data.image import pick_bucket
+
+    target, max_size = cfg.SCALES[0]
+    buckets = [tuple(cfg.tpu.default_bucket)] + [
+        tuple(b) for b in cfg.tpu.image_buckets]
+    groups: dict = {}
+    for rec in video_roidb:
+        h, w = rec.get("height", 0), rec.get("width", 0)
+        if not h or not w:
+            vp = rec.get("video_path")
+            if vp and coviar.available() and os.path.exists(vp):
+                r = coviar.VideoReader(vp)
+                h, w = r.height, r.width
+            else:
+                from PIL import Image
+
+                with Image.open(rec["pattern"] % 0) as im:
+                    w, h = im.size
+        b = pick_bucket(h, w, buckets, target, max_size)
+        groups.setdefault(b, []).append(rec)
+    return groups
+
+
 def eval_videos(model, variables, cfg, video_roidb, det_cache: str | None = None,
                 logger=None, max_frames: int | None = None):
-    """Run streaming detection over videos. Returns
-    {global_frame_idx -> {labels, scores, boxes}} detections."""
+    """Run streaming detection over videos (bucketed by orientation).
+    Returns {global_frame_idx -> {labels, scores, boxes}} detections,
+    indexed in the original video_roidb frame order."""
     log = logger.info if logger else print
     if det_cache and os.path.exists(det_cache):
         with open(det_cache, "rb") as f:
@@ -47,29 +76,38 @@ def eval_videos(model, variables, cfg, video_roidb, det_cache: str | None = None
 
     from lsfa_tpu.data.prefetch import DevicePrefetcher
 
-    h, w = cfg.tpu.default_bucket
-    det = StreamingDetector(model, variables, cfg, (h, w))
-    loader = DevicePrefetcher(
-        EvalLoader(video_roidb, cfg, bucket_hw=(h, w)), depth=2,
-        keys=("data", "small", "motion_vector", "res_diff", "im_info"))
+    # global frame index base per video (original order)
+    base = {}
+    acc = 0
+    for i, rec in enumerate(video_roidb):
+        base[id(rec)] = acc
+        acc += rec["frame_seg_len"]
+
     timer = PhaseTimer()
     detections = {}
-    frame_counter = 0
-    cur_video = -1
-    for item in loader:
-        if item["video_index"] != cur_video:
-            det.reset()
-            cur_video = item["video_index"]
-        with timer.phase("net"):
-            d, v = det.process_frame(item["data"], item["im_info"],
-                                     item["motion_vector"], item["res_diff"],
-                                     flag=item["flag"], small=item["small"])
-        with timer.phase("post"):
-            detections[frame_counter] = collect_detections(d, v)
-        timer.tick()
-        frame_counter += 1
-        if max_frames is not None and frame_counter >= max_frames:
-            break
+    groups = group_videos_by_bucket(video_roidb, cfg)
+    for bucket, recs in groups.items():
+        log(f"bucket {bucket}: {len(recs)} videos")
+        det = StreamingDetector(model, variables, cfg, bucket)
+        loader = DevicePrefetcher(
+            EvalLoader(recs, cfg, bucket_hw=bucket), depth=2)
+        cur_video = -1
+        frame_counter = 0
+        for item in loader:
+            if item["video_index"] != cur_video:
+                det.reset()
+                cur_video = item["video_index"]
+            with timer.phase("net"):
+                d, v = det.process_frame(
+                    item["data"], item["im_info"], item["motion_vector"],
+                    item["res_diff"], flag=item["flag"], small=item["small"])
+            with timer.phase("post"):
+                gidx = base[id(recs[cur_video])] + item["frame_id"]
+                detections[gidx] = collect_detections(d, v)
+            timer.tick()
+            frame_counter += 1
+            if max_frames is not None and frame_counter >= max_frames:
+                break
     log(timer.summary())
     if det_cache:
         os.makedirs(os.path.dirname(det_cache) or ".", exist_ok=True)

@@ -126,3 +126,40 @@ def test_test_loader_schedule(mini_dataset):
     assert flags[0] == 0
     assert flags[12] == 1
     assert all(f == 2 for i, f in enumerate(flags) if i % 12 != 0)
+
+
+def test_pair_sample_eq_flag_semantics(mini_dataset):
+    """get_pair_image contract: key frames (pos_id==0) train the key path
+    (eq_flag=1, zero MV/residual); mid-GOP frames get the previous key as
+    ref and carry real MV/residual (lib/utils/image.py:92-200)."""
+    root, dpath, vid_dir = mini_dataset
+    if not coviar.available():
+        pytest.skip("native loader not built")
+    cfg = get_default_config()
+    cfg.SCALES = [(60, 104)]
+    cfg.TRAIN.MIN_OFFSET = -9
+    cfg.TRAIN.MAX_OFFSET = -9   # force ref != cur for mid-GOP frames
+    from lsfa_tpu.data.loader import load_pair_sample
+
+    video = os.path.join(dpath, "Data", "VID", "mpeg4_snippets",
+                         vid_dir + ".mp4")
+    base = {"height": 96, "width": 128, "pattern": "x/%06d.JPEG",
+            "frame_seg_len": SEG_LEN, "video_path": video,
+            "image": os.path.join(dpath, "Data", "VID", vid_dir, "000000.JPEG"),
+            "boxes": np.asarray([[10.0, 10, 60, 50]], np.float32),
+            "gt_classes": np.asarray([1], np.int32), "flipped": False}
+    rng = np.random.default_rng(0)
+
+    key_rec = dict(base, frame_seg_id=12)       # GOP key frame
+    s = load_pair_sample(key_rec, cfg, rng)
+    assert s["eq_flag"] == 1.0
+    assert np.abs(s["motion_vector"]).sum() == 0
+
+    mid_rec = dict(base, frame_seg_id=17)       # mid-GOP frame
+    s = load_pair_sample(mid_rec, cfg, rng)
+    assert s["eq_flag"] == 0.0
+    # ref is the GOP key -> MV/residual are the real compressed-domain
+    # tensors (nonzero for a moving synthetic clip)
+    assert np.abs(s["motion_vector"]).sum() > 0 or np.abs(s["res_diff"]).sum() > 0
+    # boxes scaled by im_scale
+    assert s["gt_boxes"][0, 2] < 60

@@ -85,3 +85,19 @@ def test_eval_driver_end_to_end(eval_env, tmp_path):
     # random weights: AP is defined (gt exists for class 3 'bear') and finite
     assert np.isfinite(mean_ap)
     assert 0.0 <= mean_ap <= 1.0
+
+
+def test_bucket_picker_orientation():
+    from lsfa_tpu.config import get_default_config
+    from lsfa_tpu.data.image import pick_bucket
+
+    cfg = get_default_config()
+    buckets = [tuple(cfg.tpu.default_bucket)] + [
+        tuple(b) for b in cfg.tpu.image_buckets]
+    # landscape 720p -> landscape bucket
+    assert pick_bucket(720, 1280, buckets, 600, 1000) == (608, 960)
+    # portrait -> the transposed bucket (would overflow 608 rows otherwise)
+    assert pick_bucket(1280, 720, buckets, 600, 1000) == (960, 608)
+    # unfittable raises a clear error
+    with pytest.raises(ValueError):
+        pick_bucket(100, 100, [(32, 32)], 600, 1000)
