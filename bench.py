@@ -3,7 +3,7 @@
 Measures the production streaming loop — 1 key frame (full ResNet-101 +
 FlowNet + Nq aggregation) + (KEY_FRAME_INTERVAL-1) non-key frames (MV warp
 + R-net + small net) with full detection post-processing (proposals,
-PSROIPooling, per-class NMS) — at the 608x960 bucket, and reports
+PSROIPooling, per-class NMS) — at the 608x1024 bucket (the 600-short/1000-long rule), and reports
 frames/sec against the reference's 30 FPS Titan X headline
 (figs/results.png; README.md:8).
 
@@ -50,7 +50,7 @@ def main():
     s = small_pool_factor(cfg.network.small_net_stride)
     small = np.clip(np.round(frame.astype(np.float32).reshape(
         1, h // s, s, w // s, s, 3).mean((2, 4))), 0, 255).astype(np.uint8)
-    im_info = np.asarray([[600.0, 936.0, 1.6]], np.float32)
+    im_info = np.asarray([[563.0, 1000.0, 0.781]], np.float32)
     mv = rnd.normal(0, 1.5, size=(1, fh, fw, 2)).astype(np.float16)
     res = rnd.normal(0, 8, size=(1, fh, fw, 3)).astype(np.float16)
 
@@ -102,7 +102,7 @@ def main():
     print(json.dumps({
         "metric": "lsfa_e2e_inference_fps",
         "value": round(fps, 2),
-        "unit": "frames/sec (608x960, ResNet-101+DCN LSFA, key interval 12)",
+        "unit": "frames/sec (608x1024, ResNet-101+DCN LSFA, key interval 12)",
         "vs_baseline": round(fps / 30.0, 3),
     }))
 

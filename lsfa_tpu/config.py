@@ -162,10 +162,11 @@ def get_default_config() -> AttrDict:
     p = c.tpu = AttrDict()
     p.compute_dtype = "bfloat16"    # backbone/flownet compute dtype
     p.param_dtype = "float32"
-    # fixed padded image bucket (H, W); 608x960 covers 600-short /1000-long
-    # VID frames after stride-16 padding in the common landscape case
-    p.image_buckets = [(608, 960), (608, 1024), (960, 608)]
-    p.default_bucket = (608, 960)
+    # fixed padded image buckets (H, W); (608, 1024) covers every landscape
+    # frame under the 600-short/1000-long rule after stride-16 padding,
+    # (1024, 608) the portrait ones; eval picks per-video via pick_bucket
+    p.image_buckets = [(608, 1024), (1024, 608), (608, 960)]
+    p.default_bucket = (608, 1024)
     p.mesh_axes = AttrDict({"data": -1})  # -1 = all devices
     p.max_gt_boxes = 100
     # RPN NMS runs on the top-k tier of pre-NMS boxes (exact when the tier

@@ -95,9 +95,9 @@ def test_bucket_picker_orientation():
     buckets = [tuple(cfg.tpu.default_bucket)] + [
         tuple(b) for b in cfg.tpu.image_buckets]
     # landscape 720p -> landscape bucket
-    assert pick_bucket(720, 1280, buckets, 600, 1000) == (608, 960)
+    assert pick_bucket(720, 1280, buckets, 600, 1000) == (608, 1024)
     # portrait -> the transposed bucket (would overflow 608 rows otherwise)
-    assert pick_bucket(1280, 720, buckets, 600, 1000) == (960, 608)
+    assert pick_bucket(1280, 720, buckets, 600, 1000) == (1024, 608)
     # unfittable raises a clear error
     with pytest.raises(ValueError):
         pick_bucket(100, 100, [(32, 32)], 600, 1000)
