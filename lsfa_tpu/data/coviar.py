@@ -24,6 +24,7 @@ from __future__ import annotations
 import ctypes
 import functools
 import os
+import threading
 
 import numpy as np
 
@@ -87,6 +88,10 @@ class VideoReader:
         self.height = lib.coviar_height(self._h)
         self._cache_gop = -1
         self._cache = None
+        # the FFmpeg handle is stateful (seek/flush/decode); serialize all
+        # decode access per reader — loader worker threads share readers
+        # through the module-level cache
+        self._lock = threading.Lock()
 
     def close(self):
         if getattr(self, "_h", None):
@@ -101,26 +106,28 @@ class VideoReader:
 
     def decode_gop(self, gop_idx: int):
         """Returns (bgr (N,H,W,3) uint8, mv (N,H,W,2) int32, res (N,H,W,3)
-        int32) for the whole GOP; cached until another GOP is requested."""
-        if gop_idx == self._cache_gop:
+        int32) for the whole GOP; cached until another GOP is requested.
+        Thread-safe (decoding on one handle is serialized)."""
+        with self._lock:
+            if gop_idx == self._cache_gop:
+                return self._cache
+            n = self.gop_frames(gop_idx)
+            if n <= 0:
+                raise IndexError(f"bad gop {gop_idx} for {self.path}")
+            h, w = self.height, self.width
+            bgr = np.empty((n, h, w, 3), np.uint8)
+            mv = np.empty((n, h, w, 2), np.int32)
+            res = np.empty((n, h, w, 3), np.int32)
+            got = self._lib.coviar_decode_gop(
+                self._h, gop_idx,
+                bgr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                mv.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                res.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n)
+            if got != n:
+                raise IOError(f"decoded {got}/{n} frames of gop {gop_idx}")
+            self._cache_gop = gop_idx
+            self._cache = (bgr, mv, res)
             return self._cache
-        n = self.gop_frames(gop_idx)
-        if n <= 0:
-            raise IndexError(f"bad gop {gop_idx} for {self.path}")
-        h, w = self.height, self.width
-        bgr = np.empty((n, h, w, 3), np.uint8)
-        mv = np.empty((n, h, w, 2), np.int32)
-        res = np.empty((n, h, w, 3), np.int32)
-        got = self._lib.coviar_decode_gop(
-            self._h, gop_idx,
-            bgr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            mv.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            res.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n)
-        if got != n:
-            raise IOError(f"decoded {got}/{n} frames of gop {gop_idx}")
-        self._cache_gop = gop_idx
-        self._cache = (bgr, mv, res)
-        return self._cache
 
 
 @functools.lru_cache(maxsize=8)

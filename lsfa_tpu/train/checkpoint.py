@@ -21,6 +21,7 @@ import os
 from typing import Any
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import orbax.checkpoint as ocp
 
@@ -66,7 +67,9 @@ def seed_small_net(params):
                 if isinstance(d[k], dict):
                     copy_matching(d[k], s[k])
                 elif d[k].shape == s[k].shape:
-                    d[k] = s[k]
+                    # materialize a copy: aliasing the same buffer in two
+                    # tree slots breaks donation (donate same buffer twice)
+                    d[k] = jnp.array(s[k])
         return d
 
     params["small_net_backbone"] = copy_matching(dict(dst), src)
