@@ -63,6 +63,11 @@ def _lib():
     lib.coviar_encode_test_video.argtypes = [
         ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int]
+    if hasattr(lib, "coviar_encode_test_video_b"):
+        lib.coviar_encode_test_video_b.restype = ctypes.c_int
+        lib.coviar_encode_test_video_b.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int]
     return lib
 
 
@@ -159,11 +164,18 @@ def get_num_gops(path: str) -> int:
 
 
 def encode_test_video(path: str, n_frames: int = 36, w: int = 128,
-                      h: int = 96, gop_size: int = 12, seed: int = 0):
+                      h: int = 96, gop_size: int = 12, seed: int = 0,
+                      b_frames: int = 0):
+    """Synthesize an MPEG-4 test clip. b_frames > 0 produces a stream the
+    loader must REFUSE (frame indexing assumes IPPP decode order)."""
     lib = _lib()
     if lib is None:
         raise RuntimeError("libcoviar_tpu.so not available")
-    rc = lib.coviar_encode_test_video(path.encode(), n_frames, w, h,
-                                      gop_size, seed)
+    if b_frames > 0:
+        rc = lib.coviar_encode_test_video_b(path.encode(), n_frames, w, h,
+                                            gop_size, seed, b_frames)
+    else:
+        rc = lib.coviar_encode_test_video(path.encode(), n_frames, w, h,
+                                          gop_size, seed)
     if rc != 0:
         raise IOError(f"encode failed rc={rc}")

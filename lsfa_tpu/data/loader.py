@@ -19,6 +19,7 @@ jitted programs never recompile; gt boxes ride as (max_gt, 5) + validity.
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 
@@ -26,7 +27,12 @@ import numpy as np
 from PIL import Image
 
 from lsfa_tpu.data import coviar
-from lsfa_tpu.data.image import pad_to_bucket, resize, transform_mv_res
+from lsfa_tpu.data.image import (
+    pad_to_bucket,
+    pick_bucket,
+    resize,
+    transform_mv_res,
+)
 
 GOP_SIZE = 12
 
@@ -50,9 +56,14 @@ def load_pair_sample(rec, cfg, rng: np.random.Generator):
     mv = np.zeros((im_h, im_w, 2), np.float32)
     res = np.zeros((im_h, im_w, 3), np.float32)
 
+    video = rec.get("video_path")
     use_video = ("pattern" in rec) and coviar.available()
+    if use_video and not (video and os.path.exists(video)):
+        # the reference asserts with a clear message (lib/utils/image.py:130)
+        raise FileNotFoundError(
+            f"video record {rec.get('image', '?')} has no readable "
+            f"compressed stream (video_path={video!r})")
     if use_video:
-        video = rec.get("video_path")
         cur_id = rec["frame_seg_id"]
         gop_id, pos_id = cur_id // GOP_SIZE, cur_id % GOP_SIZE
         n_frames = coviar.get_num_frames(video)
@@ -91,7 +102,9 @@ def load_pair_sample(rec, cfg, rng: np.random.Generator):
         mv[:, :, 0] = -mv[:, :, 0]
         res = res[:, ::-1]
 
-    target, max_size = cfg.SCALES[0]
+    # multi-scale: sample one entry of SCALES per image
+    # (lib/utils/image.py:183 random.randrange(len(config.SCALES)))
+    target, max_size = cfg.SCALES[int(rng.integers(len(cfg.SCALES)))]
     # raw resized BGR — normalization (transform) runs ON DEVICE
     im_r, im_scale = resize(im, target, max_size)
     ref_r, _ = resize(ref, target, max_size)
@@ -149,46 +162,80 @@ def collate_train_batch(samples, bucket_hw, max_gt: int = 100):
 
 class TrainLoader:
     """Shuffling epoch iterator with thread prefetch (replaces
-    AnchorLoader + MultiThreadPrefetchingIter)."""
+    AnchorLoader + MultiThreadPrefetchingIter).
+
+    ASPECT_GROUPING (dff_rfcn/core/loader.py:220-240): records are grouped
+    by the image bucket their resized shape fits (portrait vs landscape),
+    every batch is drawn from one group, and the jit cache holds one
+    program per bucket. Grouping is structural here — XLA needs static
+    shapes — so it applies regardless of the knob; TRAIN.ASPECT_GROUPING
+    only controls whether batch ORDER is interleaved across groups
+    (True, the reference's behavior) or groups run back-to-back."""
 
     def __init__(self, roidb, cfg, batch_size: int, bucket_hw=None,
                  seed: int = 0, prefetch: int = 2, num_workers: int = 2):
         self.roidb = roidb
         self.cfg = cfg
         self.batch_size = batch_size
-        self.bucket_hw = bucket_hw or tuple(cfg.tpu.default_bucket)
         self.max_gt = cfg.tpu.max_gt_boxes
         self.rng = np.random.default_rng(seed)
         self.prefetch = prefetch
         self.num_workers = num_workers
+        if bucket_hw is not None:
+            self.buckets = [tuple(bucket_hw)]
+        else:
+            self.buckets = [tuple(b) for b in cfg.tpu.image_buckets]
+        # bucket per record under the LARGEST scale (any sampled SCALES
+        # entry then fits, since smaller scales shrink the resized image)
+        tgt = max(s[0] for s in cfg.SCALES)
+        mx = max(s[1] for s in cfg.SCALES)
+        self._rec_bucket = np.asarray([
+            self.buckets.index(pick_bucket(
+                int(r["height"]), int(r["width"]), self.buckets, tgt, mx))
+            for r in roidb])
 
     def __len__(self):
-        return len(self.roidb) // self.batch_size
+        return sum(
+            int(np.sum(self._rec_bucket == bi)) // self.batch_size
+            for bi in range(len(self.buckets)))
 
-    def _epoch_order(self):
-        order = np.arange(len(self.roidb))
-        if self.cfg.TRAIN.SHUFFLE:
-            self.rng.shuffle(order)
-        return order
+    def _epoch_batches(self):
+        """List of (bucket_idx, record_indices) per batch."""
+        batches = []
+        for bi in range(len(self.buckets)):
+            idxs = np.nonzero(self._rec_bucket == bi)[0]
+            if self.cfg.TRAIN.SHUFFLE:
+                self.rng.shuffle(idxs)
+            nb = len(idxs) // self.batch_size
+            for i in range(nb):
+                batches.append(
+                    (bi, idxs[i * self.batch_size:(i + 1) * self.batch_size]))
+        if self.cfg.TRAIN.SHUFFLE and self.cfg.TRAIN.ASPECT_GROUPING:
+            self.rng.shuffle(batches)
+        return batches
 
     def __iter__(self):
-        order = self._epoch_order()
-        nb = len(self)
+        batches = self._epoch_batches()
+        nb = len(batches)
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         idx_q: queue.Queue = queue.Queue()
-        for i in range(nb):
-            idx_q.put(order[i * self.batch_size:(i + 1) * self.batch_size])
+        for item in batches:
+            idx_q.put(item)
+        # per-worker RNG seeded BEFORE thread start — np.random.Generator
+        # is not thread-safe, so workers never share one
+        seeds = [int(self.rng.integers(2**31)) for _ in range(self.num_workers)]
 
         def worker(wid):
-            wrng = np.random.default_rng(self.rng.integers(2**31) + wid)
+            wrng = np.random.default_rng(seeds[wid])
             while True:
                 try:
-                    idxs = idx_q.get_nowait()
+                    bi, idxs = idx_q.get_nowait()
                 except queue.Empty:
                     return
                 samples = [load_pair_sample(self.roidb[j], self.cfg, wrng)
                            for j in idxs]
-                q.put(collate_train_batch(samples, self.bucket_hw, self.max_gt))
+                q.put(collate_train_batch(samples, self.buckets[bi],
+                                          self.max_gt))
 
         threads = [threading.Thread(target=worker, args=(w,), daemon=True)
                    for w in range(self.num_workers)]

@@ -123,14 +123,19 @@ class MultiStreamEvalLoader:
 
 def eval_videos_multistream(model, variables, cfg, video_roidb,
                             lanes: int = 4, logger=None,
-                            max_steps: int | None = None):
+                            max_steps: int | None = None, mesh=None):
     """Lane-batched streaming detection. Returns
-    {(video_idx, frame_id) -> {labels, scores, boxes}}."""
+    {(video_idx, frame_id) -> {labels, scores, boxes}}.
+
+    mesh: shard the lane axis over a device mesh (lanes % mesh size == 0)
+    — multi-chip inference DP, replacing the reference's per-GPU process
+    sharding (function/test_rcnn.py:69-75)."""
     from lsfa_tpu.data.prefetch import DevicePrefetcher
 
     log = logger.info if logger else print
     h, w = cfg.tpu.default_bucket
-    det = StreamingDetector(model, variables, cfg, (h, w), batch=lanes)
+    det = StreamingDetector(model, variables, cfg, (h, w), batch=lanes,
+                            mesh=mesh)
     loader = DevicePrefetcher(
         MultiStreamEvalLoader(video_roidb, cfg, lanes=lanes), depth=2,
         keys=("data", "small", "motion_vector", "res_diff", "im_info"))

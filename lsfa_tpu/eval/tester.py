@@ -30,13 +30,30 @@ from lsfa_tpu.ops.anchors import anchor_grid
 
 
 class StreamingDetector:
-    """Per-stream LSFA inference with device-resident recurrent state."""
+    """Per-stream LSFA inference with device-resident recurrent state.
 
-    def __init__(self, model, variables, cfg, image_hw, batch: int = 1):
+    mesh: optional jax.sharding.Mesh — shards the lane (batch) axis of all
+    state and inputs over the mesh's 'data' axis, with parameters
+    replicated: the TPU-native version of the reference's one-process-per-
+    GPU video sharding (function/test_rcnn.py:69-75). `batch` must divide
+    by the mesh size. Results are bitwise identical to the unsharded run
+    (lanes never interact)."""
+
+    def __init__(self, model, variables, cfg, image_hw, batch: int = 1,
+                 mesh=None):
         self.model = model
-        self.variables = variables
         self.cfg = cfg
         self.batch = batch
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            self._lane_sh = NamedSharding(mesh, P("data"))
+            self._rep_sh = NamedSharding(mesh, P())
+            variables = jax.tree.map(
+                lambda x: jax.device_put(x, self._rep_sh), variables)
+        else:
+            self._lane_sh = None
+        self.variables = variables
         h, w = image_hw
         self.image_hw = image_hw
         fh, fw = h // cfg.network.RPN_FEAT_STRIDE, w // cfg.network.RPN_FEAT_STRIDE
@@ -149,13 +166,22 @@ class StreamingDetector:
         self._scan_gops_step = scan_gops_step
         self.reset()
 
+    def _lane_put(self, x):
+        """Place a lane-batched array (shard over the mesh when present)."""
+        x = jnp.asarray(x)
+        if self._lane_sh is not None and x.ndim >= 1 \
+                and x.shape[0] == self.batch:
+            return jax.device_put(x, self._lane_sh)
+        return x
+
     def reset(self):
         """Start a new video stream."""
         b = self.batch
         fh, fw = self.feat_hw
         h, w = self.image_hw
-        self.feat_key = jnp.zeros((b, fh, fw, self.cfg.network.DFF_FEAT_DIM))
-        self.data_key = jnp.zeros((b, h, w, 3))
+        self.feat_key = self._lane_put(
+            jnp.zeros((b, fh, fw, self.cfg.network.DFF_FEAT_DIM)))
+        self.data_key = self._lane_put(jnp.zeros((b, h, w, 3)))
         self.frame_id = 0
 
     def key_frame_flag(self, frame_id: int) -> int:
@@ -227,15 +253,15 @@ class StreamingDetector:
         Returns (dets (B, max_per_image, 6), valid (B, max_per_image))."""
         if flag is None:
             flag = self.key_frame_flag(self.frame_id)
-        im_info = jnp.asarray(im_info)
+        im_info = self._lane_put(im_info)
         if flag in (0, 1):
             if is_first is None:
                 is_first = jnp.full((self.batch,), 1.0 if flag == 0 else 0.0)
             else:
                 is_first = jnp.asarray(is_first, jnp.float32)
             feat, prep, dets, valid = self._key_step(
-                self.variables, jnp.asarray(data), self.data_key,
-                self.feat_key, is_first, im_info)
+                self.variables, self._lane_put(data), self.data_key,
+                self.feat_key, self._lane_put(is_first), im_info)
             self.feat_key = feat
             self.data_key = prep          # cached on device, never re-shipped
         else:
@@ -247,11 +273,12 @@ class StreamingDetector:
                     :, : (data.shape[1] // s) * s, : (data.shape[2] // s) * s]
                 small = small.reshape(small.shape[0], small.shape[1] // s, s,
                                       small.shape[2] // s, s, 3).mean((2, 4))
-            mv = (jnp.asarray(motion_vector) if motion_vector is not None
-                  else jnp.zeros((self.batch, fh, fw, 2)))
-            rd = (jnp.asarray(res_diff) if res_diff is not None
-                  else jnp.zeros((self.batch, fh, fw, 3)))
-            dets, valid = self._cur_step(self.variables, jnp.asarray(small),
+            mv = self._lane_put(motion_vector if motion_vector is not None
+                                else jnp.zeros((self.batch, fh, fw, 2)))
+            rd = self._lane_put(res_diff if res_diff is not None
+                                else jnp.zeros((self.batch, fh, fw, 3)))
+            dets, valid = self._cur_step(self.variables,
+                                         self._lane_put(small),
                                          self.feat_key, mv, rd, im_info)
         self.frame_id += 1
         return dets, valid

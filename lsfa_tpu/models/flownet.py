@@ -34,7 +34,10 @@ class FlowNetS(nn.Module):
         dt = self.dtype
 
         def cv(x, f, k, s, name):
-            return nn.Conv(f, (k, k), strides=(s, s), padding="SAME",
+            # explicit symmetric MXNet pad (k//2) — see layers.mx_pad; the
+            # reference pads (3,3)/(2,2)/(1,1) for k=7/5/3 (get_flownet)
+            p = k // 2
+            return nn.Conv(f, (k, k), strides=(s, s), padding=((p, p), (p, p)),
                            name=name, dtype=dt)(x)
 
         x = jnp.concatenate([img_cur / 255.0, img_ref / 255.0], axis=-1).astype(dt)

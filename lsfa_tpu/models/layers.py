@@ -31,21 +31,33 @@ class BatchNorm(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         use_ra = self.frozen or (not train)
+        # no axis_name: under jit+GSPMD the batch dim is globally sharded,
+        # so the plain batch mean/var already reduce over all devices (XLA
+        # inserts the collectives); axis_name is only for pmap/shard_map.
         return nn.BatchNorm(
             use_running_average=use_ra,
             momentum=BN_MOMENTUM,
             epsilon=BN_EPS,
             dtype=self.dtype,
-            axis_name=None if use_ra else "data",
         )(x)
+
+
+def mx_pad(kernel: int, dilate: int = 1):
+    """MXNet's symmetric pad for an odd kernel: ((k-1)*d+1)//2 per side
+    (sym_common.py conv: pad = ((kernel-1)*dilate+1)//2). NOT the same as
+    XLA 'SAME' for stride>1 on even inputs — SAME splits an odd total pad
+    as (lo, lo+1) while MXNet pads (p, p), shifting windows by one pixel.
+    Exact weight import requires the MXNet convention."""
+    p = ((kernel - 1) * dilate + 1) // 2
+    return ((p, p), (p, p))
 
 
 def conv(x, features: int, kernel: int = 1, stride: int = 1, dilate: int = 1,
          use_bias: bool = True, name: str | None = None, dtype=jnp.float32):
-    """Odd-kernel 'SAME' conv — matches MXNet pad=(k-1)/2*dilate convention."""
+    """Odd-kernel conv with MXNet pad=(k-1)/2*dilate convention."""
     return nn.Conv(
         features, (kernel, kernel), strides=(stride, stride),
-        kernel_dilation=(dilate, dilate), padding="SAME",
+        kernel_dilation=(dilate, dilate), padding=mx_pad(kernel, dilate),
         use_bias=use_bias, name=name, dtype=dtype,
     )(x)
 

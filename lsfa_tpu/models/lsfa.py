@@ -34,6 +34,7 @@ class LSFA(nn.Module):
     num_classes: int = 31
     feat_dim: int = 1024
     num_layer: int = 101
+    nettype: str = "resnet"        # resnet | mobilenet | mobilenet_hobot
     num_anchors: int = 9
     # LSFA switches (shipped recipe defaults)
     add_dcn: bool = True
@@ -58,12 +59,28 @@ class LSFA(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
-        dcn_u = (0, 1, 1, 3) if self.add_dcn else (0, 0, 0, 0)
-        dcn_g = (0, 4, 4, 4) if self.add_dcn else (0, 0, 0, 0)
-        self.backbone = ResNetBackbone(
-            num_layer=self.num_layer, inv_resolution=16,
-            deformable_units=dcn_u, num_deformable_group=dcn_g,
-            dtype=self.dtype, name="backbone")
+        # backbone trunk by nettype (resnet_v1_101_flownet_rfcn.py:33-40)
+        if self.nettype == "resnet":
+            dcn_u = (0, 1, 1, 3) if self.add_dcn else (0, 0, 0, 0)
+            dcn_g = (0, 4, 4, 4) if self.add_dcn else (0, 0, 0, 0)
+            self.backbone = ResNetBackbone(
+                num_layer=self.num_layer, inv_resolution=16,
+                deformable_units=dcn_u, num_deformable_group=dcn_g,
+                dtype=self.dtype, name="backbone")
+        elif self.nettype in ("mobilenet", "mobilenet_hobot"):
+            if self.add_small_net:
+                # the reference's MobileNet trunks have no need_part/
+                # small-net plumbing either (SURVEY §2.2); fail loudly
+                raise ValueError(
+                    "add_small_net requires nettype='resnet' (the MobileNet"
+                    " trunks expose no per-stage features — matching the"
+                    " reference's mobilenetv2.py get_backbone contract)")
+            from lsfa_tpu.models.mobilenet import MobileNetV2Backbone
+            self.backbone = MobileNetV2Backbone(
+                relu6=(self.nettype == "mobilenet"), inv_resolution=16,
+                dtype=self.dtype, name="backbone")
+        else:
+            raise ValueError(f"unknown nettype: {self.nettype!r}")
         self.feat_conv_3x3 = nn.Conv(
             self.feat_dim, (3, 3), kernel_dilation=(6, 6), padding="SAME",
             dtype=self.dtype, name="feat_conv_3x3")
@@ -322,6 +339,7 @@ def lsfa_from_config(cfg):
         num_classes=cfg.dataset.NUM_CLASSES,
         feat_dim=n.DFF_FEAT_DIM,
         num_layer=n.num_layer,
+        nettype=str(n.nettype),
         num_anchors=n.NUM_ANCHORS,
         add_dcn=n.add_dcn,
         rnet_num_conv=n.rnet_num_conv,

@@ -31,16 +31,29 @@ import jax.numpy as jnp
 from lsfa_tpu.ops.boxes import pairwise_iou
 
 
-def _greedy_alive(boxes_sorted, valid_sorted, iou_thresh, num_sweeps):
-    """Fixpoint sweeps on rank-sorted boxes. Returns (N,) alive mask.
+def _greedy_alive(boxes_sorted, valid_sorted, iou_thresh, num_sweeps,
+                  with_converged: bool = False, init_alive=None):
+    """Fixpoint sweeps on rank-sorted boxes. Returns the (N,) alive mask,
+    or (alive, converged) when `with_converged`.
 
     Uses a FIXED sweep count (lax.fori_loop), not a convergence-tested
     while_loop: a data-dependent while cond costs one host round-trip per
     iteration on remote-execution runtimes (~5-10 ms each over the TPU
     tunnel — measured to dominate the whole detector), whereas each sweep
     itself is one bf16 matvec (~0.1 ms at N=6000). Real suppression chains
-    converge in < 10 sweeps; the default budget is comfortably above that
-    and the parity tests (vs the sequential-greedy oracle) pin exactness.
+    converge in < 10 sweeps.
+
+    Exactness guarantees (the sweep map f(alive) = valid & ~(alive·sup) is
+    ANTITONE, so f∘f is monotone and iterates from alive_0 = valid form a
+    sandwich: even iterates ⊇ greedy keeps ⊇ odd iterates):
+      * if alive is a fixpoint (f(alive) == alive) the result IS the greedy
+        keep-set — `converged` certifies this with one extra matvec;
+      * an ODD sweep count that has not converged yields a strict SUBSET of
+        the greedy keeps: every emitted box is a true greedy keep, some
+        tail keeps may be missing (sound for detection — no spurious,
+        differently-scored boxes ever appear);
+      * num_sweeps >= N always converges (a suppression chain cannot be
+        longer than N).
     """
     n = boxes_sorted.shape[0]
     iou = pairwise_iou(boxes_sorted, boxes_sorted)
@@ -48,17 +61,23 @@ def _greedy_alive(boxes_sorted, valid_sorted, iou_thresh, num_sweeps):
     upper = idx[:, None] < idx[None, :]
     sup = jnp.where(upper & (iou > iou_thresh), 1.0, 0.0).astype(jnp.bfloat16)
 
-    def sweep(_, alive):
+    def f(alive):
         hit = jax.lax.dot(alive.astype(jnp.bfloat16)[None], sup,
                           preferred_element_type=jnp.float32)[0]
         return valid_sorted & (hit == 0.0)
 
-    return jax.lax.fori_loop(0, num_sweeps, sweep, valid_sorted)
+    start = valid_sorted if init_alive is None else init_alive
+    alive = jax.lax.fori_loop(0, num_sweeps, lambda _, a: f(a), start)
+    if not with_converged:
+        return alive
+    converged = jnp.all(f(alive) == alive)
+    return alive, converged
 
 
 def nms_fixed(boxes, scores, iou_thresh: float, max_out: int,
               valid=None, max_iters: int | None = None,
-              presorted: bool = False, use_pallas: bool = False):
+              presorted: bool = False, use_pallas: bool = False,
+              return_converged: bool = False):
     """Greedy NMS with static shapes.
 
     Args:
@@ -69,20 +88,27 @@ def nms_fixed(boxes, scores, iou_thresh: float, max_out: int,
       max_out: number of kept indices to emit (padded).
       valid: optional (N,) bool mask of real entries.
       max_iters: number of suppression sweeps (static). Defaults to
-        min(N, 32) — well above observed convergence depth (< 10); any
-        converged state equals the greedy keep-set.
+        min(N, 31) — well above observed convergence depth (< 10), and ODD
+        on purpose: a non-converged odd iterate is a sound UNDER-
+        approximation of the greedy keep-set (subset; see _greedy_alive),
+        so an adversarially deep suppression chain can only drop tail
+        keeps, never emit a box greedy would have suppressed.
       presorted: input is already in descending-score order with invalid
         entries at the tail (e.g. output of lax.top_k) — skips the sort.
+      return_converged: also return a device scalar certifying the sweep
+        fixpoint was reached (converged == True ⇒ output EXACTLY equals
+        sequential greedy NMS).
 
     Returns:
       keep_idx: (max_out,) int32 indices into the *input* order, sorted by
         descending score. Padding slots repeat the last kept index (or 0
         when nothing is kept).
       keep_valid: (max_out,) bool mask of real (non-padding) keeps.
+      [converged: () bool — only when return_converged.]
     """
     n = boxes.shape[0]
     if max_iters is None:
-        max_iters = min(n, 16)
+        max_iters = min(n, 31)
     if valid is None:
         valid = jnp.ones((n,), dtype=bool)
     if presorted:
@@ -99,11 +125,20 @@ def nms_fixed(boxes, scores, iou_thresh: float, max_out: int,
     # Exact-match verified vs the XLA path; measured SLOWER end-to-end
     # inside the scanned GOP program on v5e (the XLA matvec sweeps pipeline
     # better with surrounding ops), so it is opt-in rather than default.
+    converged = None
     if (use_pallas and jax.default_backend() == "tpu"
             and n % 128 == 0 and n <= 2048):
         from lsfa_tpu.ops.pallas_nms import greedy_alive_pallas
 
         alive = greedy_alive_pallas(b, v, iou_thresh, max_iters)
+        if return_converged:
+            # one XLA sweep over the pallas result certifies the fixpoint
+            alive, converged = _greedy_alive(b, v, iou_thresh, 0,
+                                             with_converged=True,
+                                             init_alive=alive)
+    elif return_converged:
+        alive, converged = _greedy_alive(b, v, iou_thresh, max_iters,
+                                         with_converged=True)
     else:
         alive = _greedy_alive(b, v, iou_thresh, max_iters)
 
@@ -119,4 +154,6 @@ def nms_fixed(boxes, scores, iou_thresh: float, max_out: int,
     last = jnp.where(num_kept > 0, kept_pos[jnp.maximum(num_kept - 1, 0)], 0)
     kept_pos = jnp.where(keep_valid, kept_pos, last)
     keep_idx = order[kept_pos]
+    if return_converged:
+        return keep_idx.astype(jnp.int32), keep_valid, converged
     return keep_idx.astype(jnp.int32), keep_valid

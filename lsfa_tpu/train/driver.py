@@ -28,8 +28,13 @@ from lsfa_tpu.data.loader import TrainLoader
 from lsfa_tpu.models.lsfa import lsfa_from_config
 from lsfa_tpu.parallel import make_mesh
 from lsfa_tpu.train.checkpoint import load_checkpoint, save_checkpoint, seed_small_net
+from lsfa_tpu.train.import_mxnet import import_mxnet_lsfa
 from lsfa_tpu.train.schedule import make_optimizer
-from lsfa_tpu.train.train_step import TrainSettings, make_train_step
+from lsfa_tpu.train.train_step import (
+    TrainSettings,
+    make_rfcn_train_step,
+    make_train_step,
+)
 from lsfa_tpu.utils import Speedometer, create_logger
 
 
@@ -53,17 +58,56 @@ def load_train_roidb(cfg):
     return filter_roidb(merge_roidb(roidbs))
 
 
-def init_model(cfg, rng_seed: int = 0):
-    """Init the LSFA model variables at the configured bucket."""
-    model = lsfa_from_config(cfg)
+def is_rfcn(cfg) -> bool:
+    """Single-frame baseline configs (the reference's rfcn/ package) are
+    selected by the symbol name, mirroring the per-package experiment
+    launchers (experiments/rfcn/... vs experiments/dff_rfcn/...)."""
+    return str(cfg.symbol).startswith("rfcn")
+
+
+def init_model(cfg, rng_seed: int = 0, logger=None):
+    """Init the model variables at the configured bucket, then apply the
+    pretrained init: MXNet .params backbone + flownet (the reference's
+    load_param + combine semantics, train_end2end.py:107-115) when
+    cfg.network.pretrained / pretrained_flow point at files, followed by
+    init_weight's small-net seeding (:753-760)."""
     h, w = cfg.tpu.default_bucket
     fh, fw = h // 16, w // 16
     rng = jax.random.PRNGKey(rng_seed)
     data = jnp.zeros((1, h, w, 3), jnp.float32)
-    mv = jnp.zeros((1, fh, fw, 2), jnp.float32)
-    res = jnp.zeros((1, fh, fw, 3), jnp.float32)
-    variables = model.init(rng, data, data, data, jnp.ones((1,)),
-                           jnp.ones((1,)), mv, res)
+    if is_rfcn(cfg):
+        from lsfa_tpu.eval.rfcn_tester import rfcn_from_config
+        model = rfcn_from_config(cfg)
+        variables = model.init(rng, data, False)
+    else:
+        model = lsfa_from_config(cfg)
+        mv = jnp.zeros((1, fh, fw, 2), jnp.float32)
+        res = jnp.zeros((1, fh, fw, 3), jnp.float32)
+        variables = model.init(rng, data, data, data, jnp.ones((1,)),
+                               jnp.ones((1,)), mv, res)
+    variables = {"params": variables["params"],
+                 "batch_stats": variables.get("batch_stats", {})}
+
+    sources = []
+    for key in ("pretrained", "pretrained_flow"):
+        name = str(getattr(cfg.network, key, "") or "")
+        if not name:
+            continue
+        path = name if name.endswith(".params") else (
+            "%s-%04d.params" % (name, int(cfg.network.pretrained_epoch)))
+        if os.path.exists(path):
+            sources.append(path)
+        elif logger is not None:
+            logger.warning(f"pretrained file not found, skipping: {path}")
+    for path in sources:
+        variables, report = import_mxnet_lsfa(
+            variables, path,
+            bbox_means=tuple(cfg.TRAIN.BBOX_MEANS),
+            bbox_stds=tuple(cfg.TRAIN.BBOX_STDS))
+        if logger is not None:
+            logger.info(f"imported {len(report['imported'])} tensors from "
+                        f"{path} ({len(report['unused'])} unused)")
+
     params = seed_small_net(variables["params"])
     return model, params, variables.get("batch_stats", {})
 
@@ -86,7 +130,7 @@ def train_net(cfg, roidb=None, ckpt_dir: str | None = None,
     lr_steps = [int(float(e) * steps_per_epoch)
                 for e in str(cfg.TRAIN.lr_step).split(",")]
 
-    model, params, batch_stats = init_model(cfg)
+    model, params, batch_stats = init_model(cfg, logger=logger)
     optimizer = make_optimizer(
         params, base_lr=cfg.TRAIN.lr, lr_steps=lr_steps,
         lr_factor=cfg.TRAIN.lr_factor, momentum=cfg.TRAIN.momentum,
@@ -105,9 +149,11 @@ def train_net(cfg, roidb=None, ckpt_dir: str | None = None,
         begin_epoch = step
         logger.info(f"resumed from epoch {step}")
 
-    h, w = cfg.tpu.default_bucket
     settings = TrainSettings.from_config(cfg)
-    train_step = make_train_step(model, settings, (h // 16, w // 16), optimizer)
+    if is_rfcn(cfg):
+        train_step = make_rfcn_train_step(model, settings, optimizer)
+    else:
+        train_step = make_train_step(model, settings, None, optimizer)
 
     # replicate params, shard batches
     rsh = NamedSharding(mesh, P())
@@ -126,7 +172,7 @@ def train_net(cfg, roidb=None, ckpt_dir: str | None = None,
             dev_batch = jax.tree.map(
                 lambda x: jax.device_put(x, bsh), host_batch)
             rng, sub = jax.random.split(rng)
-            params, opt_state, metrics = train_step(
+            params, batch_stats, opt_state, metrics = train_step(
                 params, batch_stats, opt_state, dev_batch, sub)
             speedo(step_count, metrics)
             step_count += 1

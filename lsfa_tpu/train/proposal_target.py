@@ -68,4 +68,74 @@ def proposal_target(rois, gt_boxes, gt_valid,
     bbox_weight = bbox_weight.at[:, 4:8].set(
         jnp.where(is_fg[:, None], jnp.asarray(bbox_weights, jnp.float32), 0.0))
     return {"rois": all_rois, "label": label, "bbox_target": bbox_target,
-            "bbox_weight": bbox_weight, "valid": valid}
+            "bbox_weight": bbox_weight, "valid": valid, "max_iou": max_iou}
+
+
+def sample_rois_fixed(tgt: dict, key, batch_rois: int = 128,
+                      fg_fraction: float = 0.25,
+                      bg_thresh_hi: float = 0.5, bg_thresh_lo: float = 0.0):
+    """BATCH_ROIS > 0 fg/bg subsampling (core/rcnn.py:126-191) as a
+    fixed-shape jittable op over proposal_target's output.
+
+    Reference semantics: sample up to round(fg_fraction*batch_rois)
+    foreground rois (IoU >= FG_THRESH) without replacement, fill the rest
+    with background rois from the [bg_thresh_lo, bg_thresh_hi) IoU band,
+    then gap-fill with uniformly random rois relabeled background. Every
+    non-fg output slot is labeled 0 (the reference's
+    ``labels[fg_rois_per_this_image:] = 0``).
+
+    Returns a dict shaped (batch_rois, ...): rois, label, bbox_target,
+    bbox_weight, valid (all True — the minibatch is always full when the
+    input has >= 1 valid roi).
+    """
+    import jax
+
+    n = tgt["rois"].shape[0]
+    fg_n = int(round(fg_fraction * batch_rois))
+    valid = tgt["valid"]
+    is_fg = (tgt["label"] > 0) & valid
+    is_bg = ((tgt["max_iou"] < bg_thresh_hi) & (tgt["max_iou"] >= bg_thresh_lo)
+             & valid)
+
+    kf, kb, kg = jax.random.split(key, 3)
+
+    def rank_of(mask, k):
+        """Random rank among mask members (without replacement)."""
+        pri = jnp.where(mask, jax.random.uniform(k, (n,)), jnp.inf)
+        order = jnp.argsort(pri)          # members first, random order
+        rank = jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n))
+        return jnp.where(mask, rank, n)
+
+    fg_rank = rank_of(is_fg, kf)
+    fg_sel = fg_rank < fg_n
+    n_fg = jnp.sum(fg_sel)
+
+    bg_rank = rank_of(is_bg, kb)
+    bg_sel = bg_rank < (batch_rois - n_fg)
+    n_bg = jnp.sum(bg_sel)
+
+    gap = batch_rois - n_fg - n_bg
+    gap_rank = rank_of(valid, kg)
+    gap_sel = gap_rank < gap
+
+    # compact [fg | bg | gap] into batch_rois slots via cumsum scatter
+    slot_fg = jnp.cumsum(fg_sel) - 1
+    slot_bg = n_fg + jnp.cumsum(bg_sel) - 1
+    slot_gap = n_fg + n_bg + jnp.cumsum(gap_sel) - 1
+    idx = jnp.arange(n, dtype=jnp.int32)
+    sel_idx = jnp.zeros((batch_rois,), jnp.int32)
+    sel_idx = sel_idx.at[jnp.where(fg_sel, slot_fg, batch_rois)].set(
+        idx, mode="drop")
+    sel_idx = sel_idx.at[jnp.where(bg_sel, slot_bg, batch_rois)].set(
+        idx, mode="drop")
+    sel_idx = sel_idx.at[jnp.where(gap_sel, slot_gap, batch_rois)].set(
+        idx, mode="drop")
+
+    out_slots = jnp.arange(batch_rois)
+    keep_fg = out_slots < n_fg            # only fg slots keep their label
+    label = jnp.where(keep_fg, tgt["label"][sel_idx], 0.0)
+    bw = jnp.where(keep_fg[:, None], tgt["bbox_weight"][sel_idx], 0.0)
+    bt = jnp.where(keep_fg[:, None], tgt["bbox_target"][sel_idx], 0.0)
+    return {"rois": tgt["rois"][sel_idx], "label": label,
+            "bbox_target": bt, "bbox_weight": bw,
+            "valid": jnp.ones((batch_rois,), bool)}

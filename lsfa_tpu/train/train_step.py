@@ -26,7 +26,7 @@ from lsfa_tpu.ops.psroi_pool import psroi_pool
 from lsfa_tpu.train.anchor_assign import assign_anchors
 from lsfa_tpu.train.losses import rcnn_losses, rpn_losses
 from lsfa_tpu.train.ohem import ohem_select
-from lsfa_tpu.train.proposal_target import proposal_target
+from lsfa_tpu.train.proposal_target import proposal_target, sample_rois_fixed
 
 
 @dataclasses.dataclass(frozen=True)
@@ -55,6 +55,13 @@ class TrainSettings:
     bbox_weights: tuple = (1.0, 1.0, 1.0, 1.0)
     ohem_rois: int = 128
     group_size: int = 7
+    # BATCH_ROIS > 0 recipe (no OHEM): fixed fg/bg minibatch sampling
+    # (core/rcnn.py:126-191); -1 keeps all rois and OHEM selects.
+    enable_ohem: bool = True
+    batch_rois: int = -1
+    fg_fraction: float = 0.25
+    bg_thresh_hi: float = 0.5
+    bg_thresh_lo: float = 0.0
 
     @classmethod
     def from_config(cls, cfg):
@@ -80,6 +87,11 @@ class TrainSettings:
             bbox_stds=tuple(cfg.TRAIN.BBOX_STDS),
             bbox_weights=tuple(cfg.TRAIN.BBOX_WEIGHTS),
             ohem_rois=cfg.TRAIN.BATCH_ROIS_OHEM,
+            enable_ohem=cfg.TRAIN.ENABLE_OHEM,
+            batch_rois=cfg.TRAIN.BATCH_ROIS,
+            fg_fraction=cfg.TRAIN.FG_FRACTION,
+            bg_thresh_hi=cfg.TRAIN.BG_THRESH_HI,
+            bg_thresh_lo=cfg.TRAIN.BG_THRESH_LO,
         )
 
 
@@ -127,6 +139,13 @@ def detection_losses(out, batch, anchors, rng, s: TrainSettings):
         r, gt, gv, fg_thresh=s.fg_thresh, bbox_means=s.bbox_means,
         bbox_stds=s.bbox_stds, bbox_weights=s.bbox_weights,
     ))(rois, batch["gt_boxes"], batch["gt_valid"])
+    if s.batch_rois > 0:
+        # BATCH_ROIS > 0: fixed fg/bg minibatch (core/rcnn.py:126-191)
+        skeys = jax.random.split(jax.random.fold_in(rng, 1), b)
+        tgt = jax.vmap(lambda t, k: sample_rois_fixed(
+            t, k, batch_rois=s.batch_rois, fg_fraction=s.fg_fraction,
+            bg_thresh_hi=s.bg_thresh_hi, bg_thresh_lo=s.bg_thresh_lo,
+        ))(tgt, skeys)
 
     # ---- R-FCN head scoring ----
     def score_img(cls_map, bbox_map, r):
@@ -142,16 +161,24 @@ def detection_losses(out, batch, anchors, rng, s: TrainSettings):
     cls_scores, bbox_preds = jax.vmap(score_img)(
         out["rfcn_cls_map"], out["rfcn_bbox_map"], tgt["rois"])
 
-    # ---- OHEM (selection is gradient-free) ----
-    lab, w = jax.vmap(lambda cs, bp, l, t, bw, v: ohem_select(
-        jax.lax.stop_gradient(cs), jax.lax.stop_gradient(bp), l, t, bw, v,
-        roi_per_img=s.ohem_rois,
-    ))(cls_scores, bbox_preds, tgt["label"], tgt["bbox_target"],
-       tgt["bbox_weight"], tgt["valid"])
+    if s.enable_ohem:
+        # ---- OHEM (selection is gradient-free) ----
+        lab, w = jax.vmap(lambda cs, bp, l, t, bw, v: ohem_select(
+            jax.lax.stop_gradient(cs), jax.lax.stop_gradient(bp), l, t, bw, v,
+            roi_per_img=s.ohem_rois,
+        ))(cls_scores, bbox_preds, tgt["label"], tgt["bbox_target"],
+           tgt["bbox_weight"], tgt["valid"])
+        norm = s.ohem_rois
+    else:
+        # plain path (reference :433-436): all sampled rois contribute,
+        # bbox loss normalized by BATCH_ROIS
+        lab = jnp.where(tgt["valid"], tgt["label"], -1.0)
+        w = tgt["bbox_weight"]
+        norm = max(s.batch_rois, 1)
 
     rcnn_cls_loss, rcnn_bbox_loss = rcnn_losses(
         cls_scores, bbox_preds, lab, tgt["bbox_target"], w,
-        ohem_count=s.ohem_rois)
+        ohem_count=norm)
 
     # metrics mirroring the reference's 6 EvalMetrics (dff_rfcn/core/metric.py)
     pair = jnp.stack([out["rpn_cls"][..., :a], out["rpn_cls"][..., a:]], -1)
@@ -173,29 +200,72 @@ def detection_losses(out, batch, anchors, rng, s: TrainSettings):
     return total, metrics
 
 
-def make_train_step(model, settings: TrainSettings, feat_hw, optimizer):
-    """Build the jitted train step for a fixed feature-map shape."""
-    fh, fw = feat_hw
-    anchors_np = anchor_grid(fh, fw, settings.feat_stride,
-                             settings.anchor_ratios, settings.anchor_scales)
+def make_train_step(model, settings: TrainSettings, feat_hw=None, optimizer=None):
+    """Build the jitted train step. One step function serves every image
+    bucket: the anchor grid is computed at trace time from the batch's
+    static feature shape, so jit specializes per bucket automatically
+    (replacing MutableModule's max-shape bind + rebinding,
+    dff_rfcn/core/module.py:796-850). `feat_hw` is accepted for backward
+    compatibility and ignored."""
+    del feat_hw
 
-    @partial(jax.jit, donate_argnums=(0, 2))
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
     def train_step(params, batch_stats, opt_state, batch, rng):
-        anchors = jnp.asarray(anchors_np)
+        fh, fw = batch["motion_vector"].shape[1:3]   # static under trace
+        anchors = jnp.asarray(anchor_grid(
+            fh, fw, settings.feat_stride,
+            settings.anchor_ratios, settings.anchor_scales))
 
         def loss_fn(p):
-            out = model.apply(
+            # mutable batch_stats: config variants with train-mode BN
+            # (res_diff_bn, small_net_bn_before_fuse — reference
+            # resnet_v1_101_flownet_rfcn.py:61-63,232-244) update their
+            # moving stats; frozen BNs leave the collection untouched.
+            out, mut = model.apply(
                 {"params": p, "batch_stats": batch_stats},
                 batch["data"], batch["data_ref"],
                 batch["data_ref_old"], batch["eq_flag"], batch["eq_flag_old"],
                 batch["motion_vector"], batch["res_diff"],
-                method=model.forward_train)
-            return detection_losses(out, batch, anchors, rng, settings)
+                method=model.forward_train, mutable=["batch_stats"])
+            total, metrics = detection_losses(out, batch, anchors, rng,
+                                              settings)
+            return total, (metrics, mut.get("batch_stats", batch_stats))
 
-        (total, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        (total, (metrics, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         metrics["total_loss"] = total
-        return params, opt_state, metrics
+        return params, new_stats, opt_state, metrics
+
+    return train_step
+
+
+def make_rfcn_train_step(model, settings: TrainSettings, optimizer):
+    """Train step for the single-frame R-FCN baseline (the reference's
+    rfcn/train_end2end.py role): same detection losses, single image input."""
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
+    def train_step(params, batch_stats, opt_state, batch, rng):
+        fh, fw = (batch["data"].shape[1] // settings.feat_stride,
+                  batch["data"].shape[2] // settings.feat_stride)
+        anchors = jnp.asarray(anchor_grid(
+            fh, fw, settings.feat_stride,
+            settings.anchor_ratios, settings.anchor_scales))
+
+        def loss_fn(p):
+            out, mut = model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                batch["data"], True, mutable=["batch_stats"])
+            total, metrics = detection_losses(out, batch, anchors, rng,
+                                              settings)
+            return total, (metrics, mut.get("batch_stats", batch_stats))
+
+        (total, (metrics, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics["total_loss"] = total
+        return params, new_stats, opt_state, metrics
 
     return train_step

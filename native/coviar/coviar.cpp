@@ -89,9 +89,11 @@ int build_index(Handle* h) {
     AVPacket* pkt = av_packet_alloc();
     AVFrame* frm = av_frame_alloc();
     int n = 0;
+    bool has_b = false;
     auto drain = [&](void) {
         while (avcodec_receive_frame(h->dec, frm) == 0) {
             bool key = (frm->pict_type == AV_PICTURE_TYPE_I) || frm->key_frame;
+            if (frm->pict_type == AV_PICTURE_TYPE_B) has_b = true;
             if (key) h->gop_start.push_back(n);
             h->is_key.push_back(key ? 1 : 0);
             h->pts.push_back(frm->pts);
@@ -114,6 +116,19 @@ int build_index(Handle* h) {
     av_packet_free(&pkt);
     av_frame_free(&frm);
     if (h->gop_start.empty()) return -1;
+    // Frame indexing assumes presentation order == decode order. B-frames
+    // (or non-monotone pts) break that assumption and would silently
+    // mis-index frames against the annotations — refuse loudly instead.
+    // The reference's MPEG-4 snippets are always IPPP... (coviar's decoder
+    // makes the same assumption, coviar_data_loader.c decode loop).
+    if (has_b) { set_err(h, "B-frames present: stream is not IPPP-ordered"); return -2; }
+    for (size_t i = 1; i < h->pts.size(); i++) {
+        if (h->pts[i] != AV_NOPTS_VALUE && h->pts[i - 1] != AV_NOPTS_VALUE
+            && h->pts[i] < h->pts[i - 1]) {
+            set_err(h, "non-monotone pts: decode order != presentation order");
+            return -2;
+        }
+    }
     if (h->width == 0) { h->width = h->dec->width; h->height = h->dec->height; }
     return 0;
 }
@@ -327,10 +342,11 @@ COVIAR_API int coviar_decode_gop(void* hp, int gop_idx, uint8_t* bgr,
     return rc == 0 ? written : rc;
 }
 
-// ---- test-clip synthesis (MPEG-4, fixed GOP, no B-frames) ----
-COVIAR_API int coviar_encode_test_video(const char* path, int n_frames,
-                                        int w, int hgt, int gop_size,
-                                        int seed) {
+// ---- test-clip synthesis (MPEG-4, fixed GOP; b_frames>0 only for the
+// B-frame-rejection test) ----
+static int encode_test_video_impl(const char* path, int n_frames,
+                                  int w, int hgt, int gop_size,
+                                  int seed, int b_frames) {
     const AVCodec* codec = avcodec_find_encoder(AV_CODEC_ID_MPEG4);
     if (!codec) return -1;
     AVFormatContext* fmt = nullptr;
@@ -343,7 +359,7 @@ COVIAR_API int coviar_encode_test_video(const char* path, int n_frames,
     enc->pix_fmt = AV_PIX_FMT_YUV420P;
     enc->time_base = {1, 25};
     enc->gop_size = gop_size;
-    enc->max_b_frames = 0;
+    enc->max_b_frames = b_frames;
     enc->bit_rate = 2000000;
     if (fmt->oformat->flags & AVFMT_GLOBALHEADER)
         enc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
@@ -411,4 +427,17 @@ COVIAR_API int coviar_encode_test_video(const char* path, int n_frames,
     if (!(fmt->oformat->flags & AVFMT_NOFILE)) avio_closep(&fmt->pb);
     avformat_free_context(fmt);
     return packets == n_frames ? 0 : packets;
+}
+
+COVIAR_API int coviar_encode_test_video(const char* path, int n_frames,
+                                        int w, int hgt, int gop_size,
+                                        int seed) {
+    return encode_test_video_impl(path, n_frames, w, hgt, gop_size, seed, 0);
+}
+
+COVIAR_API int coviar_encode_test_video_b(const char* path, int n_frames,
+                                          int w, int hgt, int gop_size,
+                                          int seed, int b_frames) {
+    return encode_test_video_impl(path, n_frames, w, hgt, gop_size, seed,
+                                  b_frames);
 }

@@ -71,3 +71,17 @@ def test_gop_decode_batch(clip):
     assert mv.shape == (12, 96, 128, 2)
     assert res.shape == (12, 96, 128, 3)
     np.testing.assert_array_equal(bgr[4], coviar.load(clip, 1, 4, 0))
+
+
+def test_bframe_stream_refused(tmp_path):
+    """A stream with B-frames breaks presentation==decode order; the loader
+    must refuse to open it rather than silently mis-index frames."""
+    from lsfa_tpu.data import coviar
+    import pytest as _pytest
+    if not coviar.available():
+        _pytest.skip("native loader not built")
+    p = str(tmp_path / "bframes.mp4")
+    coviar.encode_test_video(p, n_frames=24, w=64, h=48, gop_size=12,
+                             seed=1, b_frames=2)
+    with _pytest.raises(IOError, match="cannot open"):
+        coviar.VideoReader(p)

@@ -94,6 +94,7 @@ def test_train_loader_batches(mini_dataset):
     cfg = get_default_config()
     cfg.SCALES = [(60, 104)]
     cfg.tpu.default_bucket = (64, 112)
+    cfg.tpu.image_buckets = [(64, 112), (112, 64)]
     ds = ImageNetVID("VID_train_15frames", root, dpath)
     roidb = ds.gt_roidb(use_cache=False)
     for rec in roidb:
@@ -108,6 +109,47 @@ def test_train_loader_batches(mini_dataset):
     assert batch["gt_boxes"].shape == (2, 100, 5)
     assert batch["gt_valid"].sum() == 2
     assert np.isfinite(batch["data"]).all()
+
+
+def test_train_loader_orientation_buckets(tmp_path):
+    """ASPECT_GROUPING (dff_rfcn/core/loader.py:220-240): a mixed
+    portrait/landscape roidb yields single-orientation batches, each padded
+    to its own bucket — portrait samples no longer overflow the landscape
+    bucket."""
+    cfg = get_default_config()
+    cfg.SCALES = [(60, 104)]
+    cfg.tpu.image_buckets = [(64, 112), (112, 64)]
+    rng = np.random.default_rng(5)
+    roidb = []
+    for i in range(8):
+        h, w = (96, 128) if i % 2 == 0 else (128, 96)
+        p = tmp_path / f"im{i}.jpg"
+        Image.fromarray(rng.integers(0, 255, (h, w, 3), np.uint8)).save(p)
+        roidb.append({"image": str(p), "height": h, "width": w,
+                      "boxes": np.asarray([[5.0, 5, 40, 40]], np.float32),
+                      "gt_classes": np.asarray([1], np.int32),
+                      "flipped": False})
+    loader = TrainLoader(roidb, cfg, batch_size=2, num_workers=1, seed=1)
+    shapes = sorted({b["data"].shape for b in loader})
+    assert len(loader) == 4
+    assert shapes == [(2, 64, 112, 3), (2, 112, 64, 3)]
+
+
+def test_train_loader_missing_video_errors():
+    """A video record without a readable stream must fail with a clear
+    message, not a TypeError inside the native loader (ref asserts at
+    lib/utils/image.py:130)."""
+    if not coviar.available():
+        pytest.skip("native loader not built")
+    cfg = get_default_config()
+    rec = {"image": "x.JPEG", "height": 96, "width": 128,
+           "pattern": "x/%06d.JPEG", "frame_seg_id": 3, "frame_seg_len": 10,
+           "video_path": None,
+           "boxes": np.zeros((1, 4), np.float32),
+           "gt_classes": np.asarray([1], np.int32), "flipped": False}
+    from lsfa_tpu.data.loader import load_pair_sample
+    with pytest.raises(FileNotFoundError, match="compressed stream"):
+        load_pair_sample(rec, cfg, np.random.default_rng(0))
 
 
 def test_test_loader_schedule(mini_dataset):

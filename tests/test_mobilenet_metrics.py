@@ -52,3 +52,47 @@ def test_metric_averager():
     assert m.get()["a"] == 2.0
     m.reset()
     assert m.get() == {}
+
+
+def test_mobilenet_lsfa_config_selectable():
+    """nettype plumbing (resnet_v1_101_flownet_rfcn.py:33-40): a config
+    with nettype=mobilenet must build an LSFA whose backbone is the
+    MobileNetV2 trunk, and its key-frame forward must run."""
+    import jax
+    import jax.numpy as jnp
+    from lsfa_tpu.config import get_default_config
+    from lsfa_tpu.models.lsfa import lsfa_from_config
+
+    cfg = get_default_config()
+    cfg.network.nettype = "mobilenet"
+    cfg.network.DFF_FEAT_DIM = 64
+    cfg.network.add_dcn = False
+    cfg.network.add_small_net = False   # mobilenet has no need_part plumbing
+    cfg.tpu.compute_dtype = "float32"
+    model = lsfa_from_config(cfg)
+    H = W = 64
+    data = jnp.zeros((1, H, W, 3))
+    mv = jnp.zeros((1, H // 16, W // 16, 2))
+    res = jnp.zeros((1, H // 16, W // 16, 3))
+    v = model.init(jax.random.PRNGKey(0), data, data, data,
+                   jnp.ones((1,)), jnp.ones((1,)), mv, res)
+    assert "block6_0" in v["params"]["backbone"], "not a MobileNetV2 trunk"
+    out = model.apply(v, data, data,
+                      jnp.zeros((1, H // 16, W // 16, 64)), jnp.ones((1,)),
+                      method=model.forward_key)
+    assert out["feat"].shape == (1, H // 16, W // 16, 64)
+    import numpy as np
+    assert np.isfinite(np.asarray(out["feat"])).all()
+
+
+def test_mobilenet_lsfa_small_net_rejected():
+    import pytest as _pytest
+    from lsfa_tpu.models.lsfa import LSFA
+    import jax, jax.numpy as jnp
+    m = LSFA(nettype="mobilenet", add_small_net=True, feat_dim=64,
+             add_dcn=False)
+    with _pytest.raises(ValueError, match="small_net"):
+        m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+               jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 3)),
+               jnp.ones((1,)), jnp.ones((1,)),
+               jnp.zeros((1, 4, 4, 2)), jnp.zeros((1, 4, 4, 3)))

@@ -63,3 +63,50 @@ def test_ohem_keeps_topk_losses():
     want = set(np.argsort(-loss, kind="stable")[:5])
     assert set(np.where(kept)[0]) == want
     assert (w[~kept] == 0).all()
+
+
+def test_sample_rois_fixed_semantics():
+    """BATCH_ROIS > 0 fg/bg sampling (core/rcnn.py:126-191): fg capped at
+    round(fg_fraction*batch_rois), bg drawn from the IoU band, gap-filled;
+    every non-fg slot labeled 0 with zero bbox weight."""
+    import jax
+    from lsfa_tpu.train.proposal_target import sample_rois_fixed
+
+    rng = np.random.default_rng(0)
+    n, g = 80, 4
+    rois = np.concatenate(
+        [np.zeros((n, 1), np.float32),
+         np.sort(rng.uniform(0, 100, (n, 2, 2)).astype(np.float32),
+                 axis=1).reshape(n, 4)[:, [0, 2, 1, 3]]], axis=1)
+    gt = np.concatenate(
+        [np.sort(rng.uniform(0, 100, (g, 2, 2)).astype(np.float32),
+                 axis=1).reshape(g, 4)[:, [0, 2, 1, 3]],
+         rng.integers(1, 5, (g, 1)).astype(np.float32)], axis=1)
+    # plant guaranteed fg rois: copies of gt
+    rois[:g, 1:5] = gt[:, :4]
+    gtv = np.ones(g, bool)
+    tgt = proposal_target(jnp.asarray(rois), jnp.asarray(gt),
+                          jnp.asarray(gtv))
+    batch_rois, fg_frac = 32, 0.25
+    out = sample_rois_fixed(tgt, jax.random.PRNGKey(1),
+                            batch_rois=batch_rois, fg_fraction=fg_frac)
+    lab = np.asarray(out["label"])
+    assert lab.shape == (batch_rois,)
+    assert np.asarray(out["valid"]).all()
+    fg_n = int(round(fg_frac * batch_rois))
+    n_fg_avail = int(np.sum(np.asarray(tgt["label"]) > 0))
+    n_fg = int(np.sum(lab > 0))
+    assert n_fg == min(fg_n, n_fg_avail)
+    # fg slots are a prefix; all fg labels are real gt classes
+    assert (lab[:n_fg] > 0).all() and (lab[n_fg:] == 0).all()
+    # bg/gap slots carry no regression signal
+    bw = np.asarray(out["bbox_weight"])
+    assert (bw[n_fg:] == 0).all() and (bw[:n_fg, 4:8] == 1).all()
+    # every selected roi exists in the input set
+    sel = np.asarray(out["rois"])
+    all_in = np.asarray(tgt["rois"])
+    for r in sel:
+        assert (np.abs(all_in - r).sum(axis=1) < 1e-5).any()
+    # bg slots really come from the [lo, hi) IoU band (or are gap fills
+    # labeled 0) — check none of them is a high-IoU roi still labeled fg
+    assert not ((lab == 0) & (np.asarray(out["bbox_weight"])[:, 4] > 0)).any()

@@ -123,6 +123,41 @@ def test_multi_gop_scan_equals_sequential(detector):
                                       np.asarray(seq[i][3]))
 
 
+def test_lane_sharded_equals_local(detector):
+    """8 lanes sharded over the 8-device mesh must produce the same
+    detections as 8 local (single-device) lanes — inference DP over the
+    mesh (ref role: function/test_rcnn.py:69-75)."""
+    from lsfa_tpu.parallel import make_mesh
+
+    cfg = detector.cfg
+    model, variables = detector.model, detector.variables
+    lanes = 8
+    rng = np.random.default_rng(3)
+    im_info = np.tile(np.asarray([[H * 1.0, W * 1.0, 1.0]], np.float32),
+                      (lanes, 1))
+    key = rng.normal(0, 40, (lanes, H, W, 3)).astype(np.float32)
+    mv = rng.normal(0, 0.5, (lanes, H // 16, W // 16, 2)).astype(np.float32)
+    res = rng.normal(0, 5, (lanes, H // 16, W // 16, 3)).astype(np.float32)
+    cur = rng.normal(0, 40, (lanes, H, W, 3)).astype(np.float32)
+
+    outs = []
+    for mesh in (None, make_mesh()):
+        det = StreamingDetector(model, variables, cfg, (H, W), batch=lanes,
+                                mesh=mesh)
+        det.reset()
+        d0, v0 = det.process_frame(key, im_info, flag=0)
+        d1, v1 = det.process_frame(cur, im_info, mv, res, flag=2)
+        outs.append((np.asarray(d0), np.asarray(v0),
+                     np.asarray(d1), np.asarray(v1)))
+        if mesh is not None:
+            # state must actually live sharded over the mesh
+            assert len(det.feat_key.sharding.device_set) == 8
+    np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(outs[0][1], outs[1][1])
+    np.testing.assert_allclose(outs[0][2], outs[1][2], rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(outs[0][3], outs[1][3])
+
+
 def test_feature_cache_persistence(detector):
     """Non-key frames must reuse the key feature (zero MV + zero residual
     => propagated feature ~ small-net-fused key feature, deterministic)."""

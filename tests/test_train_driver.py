@@ -75,3 +75,31 @@ def test_train_net_two_steps_and_checkpoint(tiny_env, tmp_path):
     from lsfa_tpu.train.checkpoint import load_checkpoint
     restored, step = load_checkpoint(ckpt)
     assert "params" in restored
+
+
+def test_rfcn_train_net_smoke(tiny_env, tmp_path):
+    """The single-frame R-FCN baseline must train through the same driver
+    (the reference's rfcn/train_end2end.py role)."""
+    root, dpath, vid_dir = tiny_env
+    cfg = load_config("configs/rfcn_tiny_smoke.yaml")
+    cfg.dataset.root_path = root
+    cfg.dataset.dataset_path = dpath
+    cfg.TRAIN.FLIP = False
+    cfg.TRAIN.RPN_PRE_NMS_TOP_N = 128
+    cfg.TRAIN.RPN_POST_NMS_TOP_N = 32
+    cfg.TRAIN.BATCH_ROIS_OHEM = 16
+    cfg.tpu.max_gt_boxes = 8
+
+    from lsfa_tpu.data.dataset import ImageNetVID
+    from lsfa_tpu.train.driver import train_net
+
+    ds = ImageNetVID("VID_train_15frames", root, dpath)
+    roidb = ds.gt_roidb(use_cache=False)
+
+    import logging
+    logger = logging.getLogger("tiny_rfcn")
+    logger.addHandler(logging.NullHandler())
+    params, batch_stats = train_net(cfg, roidb=roidb,
+                                    ckpt_dir=str(tmp_path / "ck"),
+                                    logger=logger, max_steps=2)
+    assert "rfcn_cls" in params and "flownet" not in params

@@ -47,17 +47,24 @@ def make_batch(b=2):
         "eq_flag": jnp.zeros((b,)),
         "eq_flag_old": jnp.zeros((b,)),
         "motion_vector": jnp.zeros((b, FH, FW, 2)),
-        "res_diff": jnp.zeros((b, FH, FW, 3)),
+        "res_diff": jnp.asarray(
+            rng.normal(0, 5, (b, FH, FW, 3)).astype(np.float32)),
         "gt_boxes": jnp.asarray(gt),
         "gt_valid": jnp.asarray(gtv),
         "im_info": jnp.tile(jnp.asarray([[H, W, 1.0]], jnp.float32), (b, 1)),
     }
 
 
+def _copy(tree):
+    # the train step DONATES params/stats/opt_state; tests sharing the
+    # module-scoped fixture must hand it a private copy
+    return jax.tree.map(jnp.array, tree)
+
+
 def test_train_step_runs_and_updates(setup):
     model, variables, settings = setup
-    params = variables["params"]
-    bs = variables.get("batch_stats", {})
+    params = _copy(variables["params"])
+    bs = _copy(variables.get("batch_stats", {}))
     opt = make_optimizer(params, base_lr=1e-3, lr_steps=[1000])
     opt_state = opt.init(params)
     step = make_train_step(model, settings, (FH, FW), opt)
@@ -69,7 +76,7 @@ def test_train_step_runs_and_updates(setup):
     losses = []
     p, o = params, opt_state
     for i in range(3):
-        p, o, m = step(p, bs, o, batch, jax.random.PRNGKey(i))
+        p, bs, o, m = step(p, bs, o, batch, jax.random.PRNGKey(i))
         for k, v in m.items():
             assert np.isfinite(float(v)), (k, v)
         losses.append(float(m["total_loss"]))
@@ -79,6 +86,72 @@ def test_train_step_runs_and_updates(setup):
         np.asarray(p["backbone"]["stage1_unit1"]["conv1"]["kernel"]), p0_frozen)
     # optimizing the same batch must reduce the loss
     assert losses[-1] < losses[0]
+
+
+@pytest.mark.parametrize("variant", ["res_diff_bn", "small_net_bn"])
+def test_train_step_bn_variants(variant):
+    """Config switches that put TRAIN-MODE BatchNorms in the graph
+    (res_diff_bn — resnet_v1_101_flownet_rfcn.py:61-63; small_net
+    bn_before_fuse — :232-244) must train AND update their moving stats."""
+    kw = dict(num_classes=5, feat_dim=64, num_layer=18, add_dcn=False,
+              add_small_net=True, add_Nq_net=True, rnet_num_conv=1)
+    if variant == "res_diff_bn":
+        kw["res_diff_bn"] = True
+        stat_path = ("rnet", "bn", "BatchNorm_0", "mean")
+    else:
+        kw["small_net_bn_before_fuse"] = True
+        stat_path = ("small_fuse", "cur_feat_bn", "BatchNorm_0", "mean")
+    model = LSFA(**kw)
+    rng = jax.random.PRNGKey(0)
+    data = jnp.zeros((2, H, W, 3))
+    mv = jnp.zeros((2, FH, FW, 2))
+    res = jnp.zeros((2, FH, FW, 3))
+    ones = jnp.ones((2,))
+    variables = model.init(rng, data, data, data, ones, ones, mv, res)
+    params = variables["params"]
+    bs = variables["batch_stats"]
+    node = bs
+    for k in stat_path[:-1]:
+        node = node[k]
+    before = np.asarray(node[stat_path[-1]]).copy()
+
+    cfg = get_default_config()
+    settings = TrainSettings.from_config(cfg)
+    settings = type(settings)(**{**settings.__dict__, "num_classes": 5,
+                                 "pre_nms_top_n": 64, "post_nms_top_n": 16,
+                                 "rpn_batch": 32, "ohem_rois": 8})
+    opt = make_optimizer(params, base_lr=1e-3, lr_steps=[1000])
+    opt_state = opt.init(params)
+    step = make_train_step(model, settings, (FH, FW), opt)
+    batch = make_batch()
+    params, bs, opt_state, m = step(params, bs, opt_state, batch,
+                                    jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["total_loss"]))
+    node = bs
+    for k in stat_path[:-1]:
+        node = node[k]
+    after = np.asarray(node[stat_path[-1]])
+    assert not np.allclose(after, before), "train-mode BN stats did not move"
+
+
+def test_train_step_batch_rois_no_ohem(setup):
+    """The BATCH_ROIS > 0 recipe (ENABLE_OHEM=False): fixed fg/bg sampled
+    minibatch, losses normalized by BATCH_ROIS (reference :433-436)."""
+    model, variables, settings = setup
+    params = _copy(variables["params"])
+    bs = _copy(variables.get("batch_stats", {}))
+    settings = type(settings)(**{**settings.__dict__,
+                                 "enable_ohem": False, "batch_rois": 16,
+                                 "fg_fraction": 0.25})
+    opt = make_optimizer(params, base_lr=1e-3, lr_steps=[1000])
+    opt_state = opt.init(params)
+    step = make_train_step(model, settings, None, opt)
+    batch = make_batch()
+    head0 = np.asarray(params["rfcn_cls"]["kernel"]).copy()
+    p, bs2, o, m = step(params, bs, opt_state, batch, jax.random.PRNGKey(0))
+    for k, v in m.items():
+        assert np.isfinite(float(v)), (k, v)
+    assert not np.allclose(np.asarray(p["rfcn_cls"]["kernel"]), head0)
 
 
 def test_lr_schedule():

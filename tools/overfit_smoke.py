@@ -70,7 +70,7 @@ def main(steps=80):
     step = make_train_step(model, settings, (fh, fw), opt)
 
     for i in range(steps):
-        params, opt_state, m = step(params, bs, opt_state, batch,
+        params, bs, opt_state, m = step(params, bs, opt_state, batch,
                                     jax.random.PRNGKey(i))
         if i % 20 == 0 or i == steps - 1:
             print(f"step {i:3d} total={float(m['total_loss']):.4f} "
