@@ -1,11 +1,17 @@
 """End-to-end LSFA inference benchmark on the current JAX default device.
 
-Measures the production streaming loop — 1 key frame (full ResNet-101 +
-FlowNet + Nq aggregation) + (KEY_FRAME_INTERVAL-1) non-key frames (MV warp
-+ R-net + small net) with full detection post-processing (proposals,
-PSROIPooling, per-class NMS) — at the 608x1024 bucket (the 600-short/1000-long rule), and reports
-frames/sec against the reference's 30 FPS Titan X headline
-(figs/results.png; README.md:8).
+Default mode measures the COMPLETE pipeline, video decode included: an
+MPEG-4 stream is decoded + preprocessed to device payloads by the C++ data
+plane (native/coviar) on a producer thread, overlapped with the device's
+streaming detection loop — 1 key frame (full ResNet-101 + FlowNet + Nq
+aggregation) + (KEY_FRAME_INTERVAL-1) non-key frames (MV warp + R-net +
+small net) with full detection post-processing (proposals, PSROIPooling,
+per-class NMS) at the 608x1024 bucket. This matches what the reference's
+30 FPS Titan X headline measured (figs/results.png; README.md:8): a real
+compressed stream in, detections out.
+
+Reports the MEDIAN of N trials (all trials logged to stderr).
+`--device-only` measures the device loop alone on pre-staged inputs.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -13,15 +19,20 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import queue
+import sys
+import threading
 import time
 
 import numpy as np
 
+CLIP = "/tmp/lsfa_bench_clip.mp4"
+CLIP_W, CLIP_H = 960, 576      # resizes to 600x1000 -> 608x1024 bucket
+N_GOPS = 12
+TRIALS = 5
 
-def main():
-    from lsfa_tpu.utils.env import setup_cache
 
-    setup_cache()
+def _build_detector():
     import jax
     import jax.numpy as jnp
 
@@ -33,18 +44,113 @@ def main():
     model = lsfa_from_config(cfg)
     h, w = cfg.tpu.default_bucket
     fh, fw = h // 16, w // 16
-
     rng = jax.random.PRNGKey(0)
     zdata = jnp.zeros((1, h, w, 3), jnp.float32)
     zmv = jnp.zeros((1, fh, fw, 2), jnp.float32)
     zres = jnp.zeros((1, fh, fw, 3), jnp.float32)
     variables = model.init(rng, zdata, zdata, zdata, jnp.ones((1,)),
                            jnp.ones((1,)), zmv, zres)
-
     det = StreamingDetector(model, variables, cfg, (h, w))
+    return cfg, det
+
+
+def run_real() -> dict:
+    """Decode-included pipeline: C++ prepared decode (producer thread)
+    overlapped with the device GOP loop (consumer)."""
+    import jax
+
+    from lsfa_tpu.data import coviar
+    from lsfa_tpu.data.loader import PreparedVideo
+
+    import os
+    if not os.path.exists(CLIP):
+        coviar.encode_test_video(CLIP, n_frames=N_GOPS * 12, w=CLIP_W,
+                                 h=CLIP_H, gop_size=12, seed=3)
+    cfg, det = _build_detector()
+    bucket = tuple(cfg.tpu.default_bucket)
+    interval = cfg.TEST.KEY_FRAME_INTERVAL
+
+    pv = PreparedVideo(CLIP, cfg, bucket)
+    # warmup: one-time FFmpeg/export-mvs init + jit compile of both phases
+    frames, smalls, mv, res, info = pv.gop(0)
+    im_info = info[None]
+    det.reset()
+    jax.block_until_ready(det.process_gop(
+        frames[0:1], smalls[1:], mv[1:], res[1:], im_info, first=True)[2])
+
+    fps_trials = []
+    host_ms = dev_ms = 0.0
+    for trial in range(TRIALS):
+        pv._gop = -1                       # drop the GOP cache: real decode
+        det.reset()
+        q: queue.Queue = queue.Queue(maxsize=2)
+        decode_s = [0.0]
+
+        def producer():
+            for g in range(N_GOPS):
+                t0 = time.perf_counter()
+                payload = pv.gop(g)
+                pv._gop = -1
+                decode_s[0] += time.perf_counter() - t0
+                q.put(payload)
+            q.put(None)
+
+        th = threading.Thread(target=producer, daemon=True)
+        t0 = time.perf_counter()
+        th.start()
+        n_frames = 0
+        dev_wait = 0.0
+        first = True
+        out = None
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            frames, smalls, mv, res, info = item
+            d0 = time.perf_counter()
+            out = det.process_gop(frames[0:1], smalls[1:], mv[1:], res[1:],
+                                  info[None], first=first)
+            # sync per GOP: overlapping the NEXT GOP's host->device
+            # transfer with in-flight compute faults the axon tunnel
+            # runtime (UNAVAILABLE/ABORTED — reproduced; round-1 finding).
+            # Decode still overlaps: the producer thread works through
+            # this wait.
+            jax.block_until_ready(out[2])
+            first = False
+            n_frames += frames.shape[0]
+            dev_wait += time.perf_counter() - d0
+        dt = time.perf_counter() - t0
+        fps = n_frames / dt
+        fps_trials.append(fps)
+        host_ms = decode_s[0] / n_frames * 1000
+        dev_ms = dev_wait / n_frames * 1000
+        print(f"trial {trial}: {fps:.1f} FPS (decode {host_ms:.1f} ms/f, "
+              f"device-path {dev_ms:.1f} ms/f)", file=sys.stderr, flush=True)
+
+    fps = float(np.median(fps_trials))
+    print(f"all trials: {[round(f, 1) for f in fps_trials]}",
+          file=sys.stderr, flush=True)
+    return {
+        "metric": "lsfa_e2e_inference_fps",
+        "value": round(fps, 2),
+        "unit": ("frames/sec end-to-end incl. MPEG-4 decode+preprocess "
+                 "(608x1024, ResNet-101+DCN LSFA, key interval 12, "
+                 f"median of {TRIALS})"),
+        "vs_baseline": round(fps / 30.0, 3),
+    }
+
+
+def run_device_only() -> dict:
+    """Device loop alone on pre-staged host arrays (the round-1 metric)."""
+    import jax
+
+    cfg, det = _build_detector()
+    h, w = cfg.tpu.default_bucket
+    fh, fw = h // 16, w // 16
+    interval = cfg.TEST.KEY_FRAME_INTERVAL
+    n_cur = interval - 1
 
     rnd = np.random.default_rng(0)
-    # realistic host-side payloads: uint8 key frame, small non-key frame
     frame = rnd.integers(0, 255, size=(1, h, w, 3), dtype=np.uint8)
     from lsfa_tpu.data.image import small_pool_factor
     s = small_pool_factor(cfg.network.small_net_stride)
@@ -53,24 +159,17 @@ def main():
     im_info = np.asarray([[563.0, 1000.0, 0.781]], np.float32)
     mv = rnd.normal(0, 1.5, size=(1, fh, fw, 2)).astype(np.float16)
     res = rnd.normal(0, 8, size=(1, fh, fw, 3)).astype(np.float16)
-
-    interval = cfg.TEST.KEY_FRAME_INTERVAL
-    n_cur = interval - 1
     smalls = np.repeat(small, n_cur, axis=0)
     mvs = np.repeat(mv, n_cur, axis=0)
     ress = np.repeat(res, n_cur, axis=0)
 
-    # multi-GOP scan mode: G GOPs per dispatch (lax.scan carries the key
-    # recurrence on device) — identical outputs to per-frame streaming,
-    # amortizes the per-dispatch round-trip (~30 ms on this runtime).
     G = 4
-    key_frames = np.repeat(frame[None], G, axis=0)          # (G, 1, H, W, 3)
+    key_frames = np.repeat(frame[None], G, axis=0)
     g_smalls = np.repeat(smalls[None], G, axis=0)
     g_mvs = np.repeat(mvs[None], G, axis=0)
     g_ress = np.repeat(ress[None], G, axis=0)
 
     def stage():
-        """Fresh async host->device uploads for one window's inputs."""
         return (jax.device_put(key_frames), jax.device_put(g_smalls),
                 jax.device_put(g_mvs), jax.device_put(g_ress))
 
@@ -78,40 +177,45 @@ def main():
         kf, sm, mv_, rs = inputs
         return det.process_gops(kf, sm, mv_, rs, im_info, first=first)
 
-    # warmup (compile)
     det.reset()
     jax.block_until_ready(run_window(stage(), first=True)[2])
 
-    # NOTE: overlapping device_put with in-flight compute reproducibly
-    # faults the axon runtime (UNAVAILABLE kernel errors); transfers are
-    # kept sequential with compute here. The tunneled device shows large
-    # run-to-run variance, so measure several trials and report the best
-    # sustained rate.
     n_windows = 6
-    best = 0.0
-    for trial in range(3):
+    trials = []
+    for trial in range(TRIALS):
         det.reset()
         t0 = time.perf_counter()
         for i in range(n_windows):
             out = run_window(stage(), first=(i == 0))
             jax.block_until_ready(out[2])
         dt = time.perf_counter() - t0
-        best = max(best, n_windows * G * interval / dt)
-    fps = best
-
-    print(json.dumps({
-        "metric": "lsfa_e2e_inference_fps",
+        trials.append(n_windows * G * interval / dt)
+        print(f"trial {trial}: {trials[-1]:.1f} FPS", file=sys.stderr,
+              flush=True)
+    fps = float(np.median(trials))
+    print(f"all trials: {[round(f, 1) for f in trials]}", file=sys.stderr,
+          flush=True)
+    return {
+        "metric": "lsfa_device_inference_fps",
         "value": round(fps, 2),
-        "unit": "frames/sec (608x1024, ResNet-101+DCN LSFA, key interval 12)",
+        "unit": (f"frames/sec device loop only (608x1024, median of "
+                 f"{TRIALS})"),
         "vs_baseline": round(fps / 30.0, 3),
-    }))
+    }
+
+
+def main():
+    from lsfa_tpu.utils.env import setup_cache
+
+    setup_cache()
+    mode_device_only = "--device-only" in sys.argv
+    result = run_device_only() if mode_device_only else run_real()
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
     import os
     import subprocess
-    import sys
-    import time as _time
 
     if os.environ.get("LSFA_BENCH_INNER"):
         main()
@@ -121,13 +225,13 @@ if __name__ == "__main__":
         # backend cannot be re-initialized in-process)
         env = dict(os.environ, LSFA_BENCH_INNER="1")
         for attempt in range(3):
-            rc = subprocess.call([sys.executable, os.path.abspath(__file__)],
-                                 env=env)
+            rc = subprocess.call([sys.executable] + [os.path.abspath(__file__)]
+                                 + sys.argv[1:], env=env)
             if rc == 0:
                 break
             print(f"bench attempt {attempt + 1} failed (rc={rc}); "
                   f"cooling down before retry", file=sys.stderr, flush=True)
-            _time.sleep(120)
+            time.sleep(120)
         else:
             sys.exit(1)
         sys.exit(0)

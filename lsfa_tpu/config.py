@@ -83,6 +83,11 @@ def get_default_config() -> AttrDict:
     n.fnet_type = "None"         # 'None' | 'res' | 'conv#N'
     n.fuse_type = "add"          # 'add' | 'concat'
     n.res_diff_bn = False
+    # reproduce the reference's in-place residual channel-transform bug
+    # (lib/utils/image.py:217-218: output ch2 reads the already-transformed
+    # ch0) — REQUIRED when importing weights the reference trained, since
+    # its R-net learned the buggy input distribution
+    n.res_diff_legacy_swap = False
     n.add_dcn = True
     n.add_small_net = True
     n.small_net_bn_before_fuse = False

@@ -63,6 +63,15 @@ def _lib():
     lib.coviar_encode_test_video.argtypes = [
         ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int]
+    if hasattr(lib, "coviar_decode_gop_prepared"):
+        lib.coviar_decode_gop_prepared.restype = ctypes.c_int
+        lib.coviar_decode_gop_prepared.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_float, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int]
     if hasattr(lib, "coviar_encode_test_video_b"):
         lib.coviar_encode_test_video_b.restype = ctypes.c_int
         lib.coviar_encode_test_video_b.argtypes = [
@@ -133,6 +142,55 @@ class VideoReader:
             self._cache_gop = gop_idx
             self._cache = (bgr, mv, res)
             return self._cache
+
+
+    def decode_gop_prepared(self, gop_idx: int, bucket_hw, target_size: int,
+                            max_size: int, pixel_means_bgr,
+                            pixel_scale: float = 1.0, stride: int = 16,
+                            small_factor: int = 4,
+                            legacy_swap: bool = False):
+        """Decode one GOP straight to DEVICE-READY payloads (the C++ data
+        plane — ~30x faster than the numpy/PIL chain on one core):
+
+        Returns (frames (N,bh,bw,3) u8 resized+padded raw BGR,
+                 smalls (N,bh/sf,bw/sf,3) u8 box-mean of the padded frame,
+                 mv (N,fh,fw,2) f32 warp-ready (negated, feature-cell units),
+                 res (N,fh,fw,3) f32 transformed residual grid,
+                 im_info (3,) f32 [scaled_h, scaled_w, im_scale]).
+
+        Semantics match the reference cv2.INTER_LINEAR preprocessing
+        (lib/utils/image.py:202-308); legacy_swap reproduces its in-place
+        channel-transform bug (needed for exact parity with weights the
+        reference trained — image.py:217-218)."""
+        lib = self._lib
+        if not hasattr(lib, "coviar_decode_gop_prepared"):
+            raise RuntimeError("libcoviar_tpu.so too old: rebuild native/")
+        bh, bw = bucket_hw
+        fh, fw = bh // stride, bw // stride
+        with self._lock:
+            n = self.gop_frames(gop_idx)
+            if n <= 0:
+                raise IndexError(f"bad gop {gop_idx} for {self.path}")
+            frames = np.empty((n, bh, bw, 3), np.uint8)
+            smalls = np.empty((n, bh // small_factor, bw // small_factor, 3),
+                              np.uint8)
+            mv = np.empty((n, fh, fw, 2), np.float32)
+            res = np.empty((n, fh, fw, 3), np.float32)
+            info = np.empty((3,), np.float32)
+            means = np.ascontiguousarray(pixel_means_bgr, np.float32)
+            got = lib.coviar_decode_gop_prepared(
+                self._h, gop_idx, target_size, max_size, bh, bw, stride,
+                small_factor, means.ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_float)),
+                ctypes.c_float(pixel_scale), int(legacy_swap),
+                frames.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                smalls.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                mv.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                res.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                info.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n)
+            if got != n:
+                raise IOError(f"prepared-decoded {got}/{n} of gop {gop_idx}")
+            return frames, smalls, mv, res, info
 
 
 @functools.lru_cache(maxsize=8)

@@ -61,9 +61,14 @@ def transform(im: np.ndarray, pixel_means, pixel_scale: float = 1.0):
 
 def transform_mv_res(motion_vector: np.ndarray, res_diff: np.ndarray,
                      im_scale: float, pixel_means, pixel_scale: float = 1.0,
-                     rcnn_stride: int = 16):
+                     rcnn_stride: int = 16, legacy_swap: bool = False):
     """MV (H, W, 2) + residual (H, W, 3 BGR) -> feature-grid tensors
-    (1, H', W', 2) and (1, H', W', 3 RGB), MV in feature-cell units."""
+    (1, H', W', 2) and (1, H', W', 3 RGB), MV in feature-cell units.
+
+    legacy_swap reproduces the reference's in-place channel-transform bug
+    (lib/utils/image.py:217-218): output channel 2 reads the ALREADY-
+    TRANSFORMED channel 0 instead of the raw blue residual. Weights trained
+    by the reference expect that input; keep False for clean training."""
     h, w = res_diff.shape[:2]
     sw, sh = int(round(w * im_scale)), int(round(h * im_scale))
     mv = _resize_np(motion_vector.astype(np.float32), sw, sh)
@@ -76,9 +81,14 @@ def transform_mv_res(motion_vector: np.ndarray, res_diff: np.ndarray,
     mv_p[:sh, :sw] = mv
     res_p[:sh, :sw] = res
 
-    # residual: BGR -> RGB, mean-subtract, scale (like an image)
+    # residual channel transform: out_i = (in_{2-i} - mean_{2-i}) * scale
     means = np.asarray(pixel_means, np.float32)
-    res_p = (res_p[:, :, ::-1] - means[::-1][None, None, :]) * pixel_scale
+    res_t = (res_p[:, :, ::-1] - means[::-1][None, None, :]) * pixel_scale
+    if legacy_swap:
+        # reference bug: ch2 reads the already-transformed ch0
+        res_t = res_t.copy()
+        res_t[:, :, 2] = (res_t[:, :, 0] - means[0]) * pixel_scale
+    res_p = res_t
 
     fh, fw = ph // rcnn_stride, pw // rcnn_stride
     mv_f = _resize_np(mv_p, fw, fh)

@@ -55,6 +55,22 @@ class MultiStreamEvalLoader:
         self.playlists = build_lane_playlists(video_roidb, lanes,
                                               self.interval)
         self.n_steps = max(len(p) for p in self.playlists)
+        self._prepared: dict = {}     # video_path -> PreparedVideo
+
+    def _prepared_frame(self, rec, fid):
+        """C++ data-plane fast path; None when unavailable for this rec."""
+        from lsfa_tpu.data.loader import PreparedVideo, prepared_available
+
+        video = rec.get("video_path")
+        if video is None or not prepared_available():
+            return None
+        pv = self._prepared.get(video)
+        if pv is None:
+            pv = PreparedVideo(video, self.cfg, self.bucket_hw)
+            self._prepared[video] = pv
+        if fid >= pv.num_frames:
+            return None
+        return pv.frame(fid)
 
     def _frame(self, rec, fid):
         cfg = self.cfg
@@ -89,6 +105,19 @@ class MultiStreamEvalLoader:
                 vi, fid, real = pl[min(t, len(pl) - 1)]
                 real = real and t < len(pl)
                 rec = self.roidb[vi]
+                prep = self._prepared_frame(rec, fid)
+                if prep is not None:
+                    data, small, mv_p, res_p, info = prep
+                    datas.append(data)
+                    smalls.append(small)
+                    mvs.append(mv_p)
+                    ress.append(res_p)
+                    infos.append(list(info[0]))
+                    lane_meta.append((vi, fid, real))
+                    if flag in (0, 1) and vi != prev_video[l]:
+                        is_first[l] = 1.0
+                        prev_video[l] = vi
+                    continue
                 im, mv, res = self._frame(rec, fid)
                 im_r, im_scale = resize(im, target, max_size)
                 data = pad_to_bucket(
@@ -99,7 +128,9 @@ class MultiStreamEvalLoader:
                     255).astype(np.uint8)
                 mv_t, res_t = transform_mv_res(
                     mv, res, im_scale, cfg.network.PIXEL_MEANS,
-                    cfg.network.PIXEL_SCALE)
+                    cfg.network.PIXEL_SCALE,
+                    legacy_swap=bool(getattr(cfg.network,
+                                             "res_diff_legacy_swap", False)))
                 datas.append(data)
                 smalls.append(small)
                 mvs.append(pad_to_bucket(mv_t, fb))

@@ -33,6 +33,7 @@ extern "C" {
 #include <cstring>
 #include <string>
 #include <vector>
+#include <functional>
 
 #define COVIAR_API extern "C" __attribute__((visibility("default")))
 
@@ -199,6 +200,92 @@ void compute_residual(const uint8_t* cur, const uint8_t* key,
         }
 }
 
+// ---- device-payload preparation (the TPU data plane) ----------------------
+// The Python preprocessing chain (resize -> pad-to-bucket -> small-image
+// box-mean -> transform_mv_res) costs ~150 ms/frame in numpy/PIL on this
+// host's single core; the same math here runs in ~5 ms. Semantics follow
+// the REFERENCE's cv2.INTER_LINEAR convention (lib/utils/image.py:202-263:
+// half-pixel centers, edge clamp, no antialiasing), which the PIL-based
+// Python fallback only approximates.
+
+// resize rule (lib/utils/image.py:266-294)
+double resize_scale(int h, int w, int target, int max_size) {
+    int smin = std::min(h, w), smax = std::max(h, w);
+    double s = (double)target / smin;
+    if (lrint(s * smax) > max_size) s = (double)max_size / smax;
+    return s;
+}
+
+// cv2-style bilinear sample of an HxWxC float field at (y, x) in pixel
+// coordinates (already includes the half-pixel shift), edge-clamped.
+inline void bilinear_at(const float* f, int h, int w, int c,
+                        double y, double x, float* out) {
+    if (y < 0) y = 0;
+    if (x < 0) x = 0;
+    int y0 = (int)y, x0 = (int)x;
+    if (y0 > h - 1) y0 = h - 1;
+    if (x0 > w - 1) x0 = w - 1;
+    int y1 = std::min(y0 + 1, h - 1), x1 = std::min(x0 + 1, w - 1);
+    double fy = y - y0, fx = x - x0;
+    if (fy < 0) fy = 0; if (fy > 1) fy = 1;
+    if (fx < 0) fx = 0; if (fx > 1) fx = 1;
+    const float* p00 = f + ((size_t)y0 * w + x0) * c;
+    const float* p01 = f + ((size_t)y0 * w + x1) * c;
+    const float* p10 = f + ((size_t)y1 * w + x0) * c;
+    const float* p11 = f + ((size_t)y1 * w + x1) * c;
+    for (int k = 0; k < c; k++)
+        out[k] = (float)((1 - fy) * ((1 - fx) * p00[k] + fx * p01[k]) +
+                         fy * ((1 - fx) * p10[k] + fx * p11[k]));
+}
+
+// transform_mv_res (image.py:202-263) with the two cv2.resize stages fused:
+// stage A resizes the full-res field by im_scale (+ zero pad to the stride
+// grid), stage B resizes the padded field by 1/stride. Every stage-B tap
+// needs at most 4 stage-A values, each computed on the fly from the source
+// field — no intermediate is materialized.
+// out is an (fh, fw, c) BUCKET grid; only the (gh, gw) cells covering the
+// scaled image carry values (gh = ceil(sh/stride) etc.), the rest is the
+// bucket zero-padding (pad_to_bucket in the Python pipeline).
+void mv_res_to_grid(const float* src, int h, int w, int c,
+                    int sh, int sw,
+                    int gh, int gw, int fh, int fw, int stride, float* out) {
+    std::memset(out, 0, sizeof(float) * (size_t)fh * fw * c);
+    for (int fy = 0; fy < gh; fy++) {
+        for (int fx = 0; fx < gw; fx++) {
+            // stage-B sample point in padded-scaled coordinates (always
+            // interior: (fy+0.5)*stride-0.5 ∈ [7.5, gh*stride-8.5])
+            double py = (fy + 0.5) * stride - 0.5;
+            double px = (fx + 0.5) * stride - 0.5;
+            int py0 = (int)std::floor(py), px0 = (int)std::floor(px);
+            double fyw = py - py0, fxw = px - px0;
+            float acc[4] = {0, 0, 0, 0};
+            for (int dy = 0; dy < 2; dy++) {
+                int yy = py0 + dy;
+                double wy = dy ? fyw : 1 - fyw;
+                if (wy == 0) continue;
+                for (int dx = 0; dx < 2; dx++) {
+                    int xx = px0 + dx;
+                    double wx = dx ? fxw : 1 - fxw;
+                    if (wx == 0) continue;
+                    float val[4] = {0, 0, 0, 0};
+                    // padded field: zero outside the scaled image extent
+                    if (yy >= 0 && yy < sh && xx >= 0 && xx < sw) {
+                        // cv2 maps via the actual size ratio src/dst (not
+                        // 1/fx): dst size was rounded from src*fx
+                        double syf = (yy + 0.5) * ((double)h / sh) - 0.5;
+                        double sxf = (xx + 0.5) * ((double)w / sw) - 0.5;
+                        bilinear_at(src, h, w, c, syf, sxf, val);
+                    }
+                    for (int k = 0; k < c; k++)
+                        acc[k] += (float)(wy * wx) * val[k];
+                }
+            }
+            float* o = out + ((size_t)fy * fw + fx) * c;
+            for (int k = 0; k < c; k++) o[k] = acc[k];
+        }
+    }
+}
+
 }  // namespace
 
 COVIAR_API void* coviar_open(const char* path) {
@@ -242,14 +329,19 @@ COVIAR_API int coviar_gop_frames(void* hp, int gop_idx) {
 //   bgr: n*H*W*3 uint8; mv: n*H*W*2 int32 (accumulated to the GOP key);
 //   res: n*H*W*3 int32 (vs MV-warped key). Any of the three may be NULL.
 // Returns #frames written, or <0 on error.
-COVIAR_API int coviar_decode_gop(void* hp, int gop_idx, uint8_t* bgr,
-                                 int32_t* mv, int32_t* res, int max_frames) {
-    Handle* h = (Handle*)hp;
-    int n_gop = coviar_gop_frames(hp, gop_idx);
+namespace {
+
+// Shared GOP decode loop. The sink receives, per in-range frame:
+//   (rel, cur_bgr, key_bgr, acc) — full-res BGR, the GOP key's BGR, and the
+// accumulated MV field (zeros on the key frame).
+int decode_gop_core(Handle* h, int gop_idx, int max_frames, bool need_mv,
+                    const std::function<void(int, const uint8_t*,
+                                             const uint8_t*,
+                                             const int32_t*)>& sink) {
+    int n_gop = coviar_gop_frames(h, gop_idx);
     if (n_gop < 0) return -1;
     int start = h->gop_start[gop_idx];
     int want = std::min(n_gop, max_frames);
-    bool need_mv = (mv != nullptr) || (res != nullptr);
 
     if (open_decoder(h, need_mv) != 0) return -2;
     const int w = h->width, hgt = h->height;
@@ -302,17 +394,7 @@ COVIAR_API int coviar_decode_gop(void* hp, int gop_idx, uint8_t* bgr,
             accumulate_mv(frame_mv.data(), prev_acc.data(), acc.data(), w, hgt);
             prev_acc = acc;
         }
-        if (bgr) std::memcpy(bgr + (size_t)rel * npx * 3, cur_bgr.data(), npx * 3);
-        if (mv) std::memcpy(mv + (size_t)rel * npx * 2, acc.data(),
-                            npx * 2 * sizeof(int32_t));
-        if (res) {
-            int32_t* r = res + (size_t)rel * npx * 3;
-            if (rel == 0)
-                std::memset(r, 0, npx * 3 * sizeof(int32_t));
-            else
-                compute_residual(cur_bgr.data(), key_bgr.data(), acc.data(),
-                                 r, w, hgt);
-        }
+        sink(rel, cur_bgr.data(), key_bgr.data(), acc.data());
         written++;
     };
 
@@ -340,6 +422,166 @@ COVIAR_API int coviar_decode_gop(void* hp, int gop_idx, uint8_t* bgr,
     av_frame_free(&frm);
     close_decoder(h);
     return rc == 0 ? written : rc;
+}
+
+}  // namespace
+
+COVIAR_API int coviar_decode_gop(void* hp, int gop_idx, uint8_t* bgr,
+                                 int32_t* mv, int32_t* res, int max_frames) {
+    Handle* h = (Handle*)hp;
+    const int w = h->width, hgt = h->height;
+    const size_t npx = (size_t)w * hgt;
+    bool need_mv = (mv != nullptr) || (res != nullptr);
+    return decode_gop_core(
+        h, gop_idx, max_frames, need_mv,
+        [&](int rel, const uint8_t* cur, const uint8_t* key,
+            const int32_t* acc) {
+            if (bgr)
+                std::memcpy(bgr + (size_t)rel * npx * 3, cur, npx * 3);
+            if (mv)
+                std::memcpy(mv + (size_t)rel * npx * 2, acc,
+                            npx * 2 * sizeof(int32_t));
+            if (res) {
+                int32_t* r = res + (size_t)rel * npx * 3;
+                if (rel == 0)
+                    std::memset(r, 0, npx * 3 * sizeof(int32_t));
+                else
+                    compute_residual(cur, key, acc, r, w, hgt);
+            }
+        });
+}
+
+// Decode one GOP straight to DEVICE-READY payloads (the TPU data plane):
+//   frames:  n*(bh*bw*3)  uint8  — resized (600/1000 rule) + zero-padded
+//                                  raw BGR at the bucket shape
+//   smalls:  n*(bh/sf*bw/sf*3) uint8 — sf x sf box-mean of the padded frame
+//   mv_out:  n*(fh*fw*2) float  — transform_mv_res MV grid (NEGATED, i.e.
+//                                  warp-ready) where fh=bh/stride
+//   res_out: n*(fh*fw*3) float  — transform_mv_res residual grid (RGB,
+//                                  mean-subtracted, x pixel_scale)
+//   im_info: 3 floats [scaled_h, scaled_w, im_scale]
+// legacy_swap replicates the reference's in-place channel-transform bug
+// (lib/utils/image.py:217-218: output channel 2 reads the already-
+// transformed channel 0) — required for exact parity with weights trained
+// by the reference. Returns #frames, or <0.
+COVIAR_API int coviar_decode_gop_prepared(
+    void* hp, int gop_idx, int target_size, int max_size, int bh, int bw,
+    int stride, int small_factor, const float* pixel_means_bgr,
+    float pixel_scale, int legacy_swap, uint8_t* frames, uint8_t* smalls,
+    float* mv_out, float* res_out, float* im_info, int max_frames) {
+    Handle* h = (Handle*)hp;
+    const int w = h->width, hgt = h->height;
+    const size_t npx = (size_t)w * hgt;
+    double s = resize_scale(hgt, w, target_size, max_size);
+    const int sh = (int)lrint(hgt * s), sw = (int)lrint(w * s);
+    if (sh > bh || sw > bw) { set_err(h, "bucket too small"); return -3; }
+    const int fh = bh / stride, fw = bw / stride;
+    const int gh = (sh + stride - 1) / stride, gw = (sw + stride - 1) / stride;
+    const int sbh = bh / small_factor, sbw = bw / small_factor;
+    if (im_info) { im_info[0] = (float)sh; im_info[1] = (float)sw;
+                   im_info[2] = (float)s; }
+
+    std::vector<float> fbuf(npx * 3);            // float staging (mv/res)
+    std::vector<int32_t> res_full(npx * 3);
+
+    SwsContext* sws = nullptr;                   // reused across frames
+    auto sink = [&](int rel, const uint8_t* cur, const uint8_t* key,
+                    const int32_t* acc) {
+        // --- frame: resize + pad in ONE sws pass (dst stride = bucket) ---
+        if (frames) {
+            uint8_t* dst_frame = frames + (size_t)rel * bh * bw * 3;
+            std::memset(dst_frame, 0, (size_t)bh * bw * 3);
+            if (!sws)
+                sws = sws_getContext(w, hgt, AV_PIX_FMT_BGR24, sw, sh,
+                                     AV_PIX_FMT_BGR24, SWS_BILINEAR,
+                                     nullptr, nullptr, nullptr);
+            const uint8_t* src[1] = {cur};
+            int src_stride[1] = {3 * w};
+            uint8_t* dst[1] = {dst_frame};
+            int dst_stride[1] = {3 * bw};
+            sws_scale(sws, src, src_stride, 0, hgt, dst, dst_stride);
+            // --- small image: sf x sf box mean of the PADDED frame ---
+            if (smalls) {
+                uint8_t* sm = smalls + (size_t)rel * sbh * sbw * 3;
+                const int sf = small_factor;
+                const float inv = 1.0f / (sf * sf);
+                for (int y = 0; y < sbh; y++)
+                    for (int x = 0; x < sbw; x++) {
+                        int sums[3] = {0, 0, 0};
+                        for (int dy = 0; dy < sf; dy++) {
+                            const uint8_t* row =
+                                dst_frame + ((size_t)(y * sf + dy) * bw
+                                             + (size_t)x * sf) * 3;
+                            for (int dx = 0; dx < sf; dx++)
+                                for (int c = 0; c < 3; c++)
+                                    sums[c] += row[dx * 3 + c];
+                        }
+                        for (int c = 0; c < 3; c++)
+                            sm[((size_t)y * sbw + x) * 3 + c] =
+                                (uint8_t)lrintf(sums[c] * inv);
+                    }
+            }
+        }
+        // --- MV grid (negated: the Python loader negates, image.py:54) ---
+        if (mv_out) {
+            float* dst = mv_out + (size_t)rel * fh * fw * 2;
+            if (rel == 0) {
+                std::memset(dst, 0, sizeof(float) * fh * fw * 2);
+            } else {
+                for (size_t i = 0; i < npx * 2; i++)
+                    fbuf[i] = (float)(-acc[i]);
+                mv_res_to_grid(fbuf.data(), hgt, w, 2, sh, sw,
+                               gh, gw, fh, fw, stride, dst);
+                const float mscale = (float)(s / stride);
+                for (int i = 0; i < fh * fw * 2; i++) dst[i] *= mscale;
+            }
+        }
+        // --- residual grid ---
+        // The reference transforms the PADDED stage-A field per channel
+        // (out_i = (in_{2-i} - mean_{2-i}) * scale, image.py:217-218) and
+        // THEN stage-B-resizes. The transform is per-pixel affine and every
+        // stage-B tap is interior (weights sum to 1), so it commutes
+        // exactly with the resample: we resample the raw BGR residual and
+        // apply the channel transform per grid cell.
+        if (res_out) {
+            float* dst = res_out + (size_t)rel * fh * fw * 3;
+            if (rel == 0) {
+                std::memset(dst, 0, sizeof(float) * fh * fw * 3);
+            } else {
+                compute_residual(cur, key, acc, res_full.data(), w, hgt);
+                for (size_t i = 0; i < npx * 3; i++)
+                    fbuf[i] = (float)res_full[i];
+                std::vector<float> grid((size_t)fh * fw * 3);
+                mv_res_to_grid(fbuf.data(), hgt, w, 3, sh, sw,
+                               gh, gw, fh, fw, stride, grid.data());
+                std::memset(dst, 0, sizeof(float) * (size_t)fh * fw * 3);
+                // out_i = (in_{2-i} - mean_{2-i}) * scale, means BGR-ordered
+                const float mB = pixel_means_bgr[0], mG = pixel_means_bgr[1],
+                            mR = pixel_means_bgr[2];
+                // transform only the REAL (gh, gw) cells; bucket padding
+                // (applied after transform_mv_res in the Python pipeline)
+                // stays exactly zero
+                for (int fy = 0; fy < gh; fy++)
+                for (int fx = 0; fx < gw; fx++) {
+                    int i = fy * fw + fx;
+                    float b = grid[i * 3 + 0], g = grid[i * 3 + 1],
+                          r = grid[i * 3 + 2];
+                    float o0 = (r - mR) * pixel_scale;
+                    float o1 = (g - mG) * pixel_scale;
+                    float o2 = legacy_swap
+                                   ? (o0 - mB) * pixel_scale  // ref bug:
+                                     // ch2 reads ALREADY-TRANSFORMED ch0
+                                   : (b - mB) * pixel_scale;
+                    dst[i * 3 + 0] = o0;
+                    dst[i * 3 + 1] = o1;
+                    dst[i * 3 + 2] = o2;
+                }
+            }
+        }
+    };
+    int got = decode_gop_core(h, gop_idx, max_frames, true, sink);
+    if (sws) sws_freeContext(sws);
+    return got;
 }
 
 // ---- test-clip synthesis (MPEG-4, fixed GOP; b_frames>0 only for the

@@ -1,0 +1,138 @@
+"""C++ prepared-decode data plane: parity vs a numpy oracle of the
+reference's cv2.INTER_LINEAR preprocessing (lib/utils/image.py:202-308).
+
+The oracle re-states the two-stage transform_mv_res independently: naive
+bilinear (half-pixel centers, src/dst size ratio, edge clamp — cv2
+semantics, NOT PIL's antialiased filter), zero pad to the stride grid,
+second bilinear down to the feature grid, then the channel transforms.
+"""
+
+import numpy as np
+import pytest
+
+from lsfa_tpu.data import coviar
+
+if not coviar.available():
+    pytest.skip("native loader not built", allow_module_level=True)
+
+W, H = 192, 112          # stream size; resizes UP to (120, 205) at 120/192
+TARGET, MAXSZ = 120, 208
+BUCKET = (128, 224)
+MEANS = [103.06, 115.90, 123.15]
+
+
+@pytest.fixture(scope="module")
+def clip(tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("clip") / "c.mp4")
+    coviar.encode_test_video(p, n_frames=24, w=W, h=H, gop_size=12, seed=5)
+    return p
+
+
+def cv2_bilinear(src, out_h, out_w):
+    """Naive bilinear with half-pixel centers + edge clamp (cv2 semantics;
+    ratio = src/dst like cv2.resize)."""
+    h, w = src.shape[:2]
+    ys = (np.arange(out_h) + 0.5) * (h / out_h) - 0.5
+    xs = (np.arange(out_w) + 0.5) * (w / out_w) - 0.5
+    ys = np.clip(ys, 0, h - 1)
+    xs = np.clip(xs, 0, w - 1)
+    y0 = np.clip(np.floor(ys).astype(int), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(int), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    fy = (ys - y0)[:, None, None]
+    fx = (xs - x0)[None, :, None]
+    a = src[y0][:, x0]
+    b = src[y0][:, x1]
+    c = src[y1][:, x0]
+    d = src[y1][:, x1]
+    return ((1 - fy) * ((1 - fx) * a + fx * b)
+            + fy * ((1 - fx) * c + fx * d))
+
+
+def oracle_mv_res(mv_raw, res_raw, legacy_swap):
+    """transform_mv_res with cv2 conventions, on the NEGATED mv like the
+    loader (image.py:54), returning bucket-shaped grids."""
+    h, w = mv_raw.shape[:2]
+    s = TARGET / min(h, w)
+    if round(s * max(h, w)) > MAXSZ:
+        s = MAXSZ / max(h, w)
+    sh, sw = int(round(h * s)), int(round(w * s))
+    gh = int(np.ceil(sh / 16)) * 16
+    gw = int(np.ceil(sw / 16)) * 16
+
+    def two_stage(field):
+        a = cv2_bilinear(field.astype(np.float64), sh, sw)
+        p = np.zeros((gh, gw, field.shape[2]))
+        p[:sh, :sw] = a
+        return p
+
+    mv_p = two_stage(-mv_raw.astype(np.float64))
+    res_p = two_stage(res_raw.astype(np.float64))
+    # channel transform on the padded field (reference order), incl. the
+    # in-place bug when legacy_swap
+    out = np.empty_like(res_p)
+    out[:, :, 0] = res_p[:, :, 2] - MEANS[2]
+    out[:, :, 1] = res_p[:, :, 1] - MEANS[1]
+    src2 = out[:, :, 0] if legacy_swap else res_p[:, :, 0]
+    out[:, :, 2] = src2 - MEANS[0]
+
+    mv_g = cv2_bilinear(mv_p, gh // 16, gw // 16) * (s / 16)
+    res_g = cv2_bilinear(out, gh // 16, gw // 16)
+    bh, bw = BUCKET
+    mv_full = np.zeros((bh // 16, bw // 16, 2))
+    res_full = np.zeros((bh // 16, bw // 16, 3))
+    mv_full[:gh // 16, :gw // 16] = mv_g
+    res_full[:gh // 16, :gw // 16] = res_g
+    return mv_full, res_full, (sh, sw, s)
+
+
+@pytest.mark.parametrize("legacy", [False, True])
+def test_prepared_mv_res_parity(clip, legacy):
+    r = coviar.VideoReader(clip)
+    bgr, mv_raw, res_raw = r.decode_gop(1)
+    frames, smalls, mv, res, info = r.decode_gop_prepared(
+        1, BUCKET, TARGET, MAXSZ, MEANS, legacy_swap=legacy)
+    for rel in (1, 5, 11):
+        want_mv, want_res, (sh, sw, s) = oracle_mv_res(
+            mv_raw[rel], res_raw[rel], legacy)
+        np.testing.assert_allclose(info, [sh, sw, s], rtol=1e-5)
+        np.testing.assert_allclose(mv[rel], want_mv, atol=2e-3)
+        np.testing.assert_allclose(res[rel], want_res, atol=2e-2)
+    # key frame: zero grids
+    assert np.abs(mv[0]).sum() == 0 and np.abs(res[0]).sum() == 0
+
+
+def test_prepared_frames_and_smalls(clip):
+    r = coviar.VideoReader(clip)
+    bgr, _, _ = r.decode_gop(0)
+    frames, smalls, _, _, info = r.decode_gop_prepared(
+        0, BUCKET, TARGET, MAXSZ, MEANS)
+    sh, sw = int(info[0]), int(info[1])
+    bh, bw = BUCKET
+    # pad region exactly zero
+    assert frames[:, sh:].sum() == 0 and frames[:, :, sw:].sum() == 0
+    # image region: sws bilinear vs the numpy bilinear oracle (different
+    # fixed-point filters -> small tolerance)
+    want = cv2_bilinear(bgr[3].astype(np.float64), sh, sw)
+    got = frames[3, :sh, :sw].astype(np.float64)
+    assert np.abs(got - want).mean() < 3.0
+    # small image == exact 4x4 box mean of the padded frame
+    blocks = frames[3].reshape(bh // 4, 4, bw // 4, 4, 3).astype(np.float64)
+    want_small = blocks.mean((1, 3))
+    assert np.abs(smalls[3].astype(np.float64) - want_small).max() <= 0.5 + 1e-9
+
+
+def test_prepared_matches_python_loader_contract(clip):
+    """The prepared payloads must slot into the EvalLoader item contract:
+    uint8 frames at the bucket, f32 grids at bucket/16."""
+    r = coviar.VideoReader(clip)
+    frames, smalls, mv, res, info = r.decode_gop_prepared(
+        1, BUCKET, TARGET, MAXSZ, MEANS)
+    assert frames.dtype == np.uint8 and smalls.dtype == np.uint8
+    assert mv.dtype == np.float32 and res.dtype == np.float32
+    bh, bw = BUCKET
+    assert frames.shape[1:] == (bh, bw, 3)
+    assert smalls.shape[1:] == (bh // 4, bw // 4, 3)
+    assert mv.shape[1:] == (bh // 16, bw // 16, 2)
+    assert res.shape[1:] == (bh // 16, bw // 16, 3)

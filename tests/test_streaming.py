@@ -158,6 +158,44 @@ def test_lane_sharded_equals_local(detector):
     np.testing.assert_array_equal(outs[0][3], outs[1][3])
 
 
+def test_small_net_stride8_streaming():
+    """small_net_stride=8 end-to-end: the host ships a 1/2-downscaled frame,
+    the small trunk runs 2 stages and fuses its stage-2 (stride-8 relative,
+    /16 absolute) feature (reference fuse_small_net :216-224)."""
+    cfg = get_default_config()
+    cfg.dataset.NUM_CLASSES = 5
+    cfg.network.DFF_FEAT_DIM = 64
+    cfg.network.num_layer = 18
+    cfg.network.add_dcn = False
+    cfg.network.small_net_stride = 8
+    cfg.tpu.default_bucket = (H, W)
+    cfg.TEST.RPN_PRE_NMS_TOP_N = 128
+    cfg.TEST.RPN_POST_NMS_TOP_N = 32
+    cfg.TEST.max_per_image = 20
+    model = LSFA(num_classes=5, feat_dim=64, num_layer=18, add_dcn=False,
+                 small_net_stride=8)
+    rng = jax.random.PRNGKey(0)
+    data = jnp.zeros((1, H, W, 3))
+    mv = jnp.zeros((1, H // 16, W // 16, 2))
+    res = jnp.zeros((1, H // 16, W // 16, 3))
+    variables = model.init(rng, data, data, data, jnp.ones((1,)),
+                           jnp.ones((1,)), mv, res)
+    det = StreamingDetector(model, variables, cfg, (H, W))
+    det.reset()
+    rngn = np.random.default_rng(0)
+    im_info = np.asarray([[H * 1.0, W * 1.0, 1.0]], np.float32)
+    frame = rngn.normal(0, 40, (1, H, W, 3)).astype(np.float32)
+    det.process_frame(frame, im_info, flag=0)
+    # non-key frame ships the HALF-res small image (stride 8 -> factor 2)
+    small = frame.reshape(1, H // 2, 2, W // 2, 2, 3).mean((2, 4))
+    d, v = det.process_frame(None, im_info,
+                             np.zeros((1, H // 16, W // 16, 2), np.float32),
+                             np.zeros((1, H // 16, W // 16, 3), np.float32),
+                             flag=2, small=small)
+    assert np.isfinite(np.asarray(d)).all()
+    assert np.asarray(d).shape == (1, 20, 6)
+
+
 def test_feature_cache_persistence(detector):
     """Non-key frames must reuse the key feature (zero MV + zero residual
     => propagated feature ~ small-net-fused key feature, deterministic)."""
