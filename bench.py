@@ -71,19 +71,43 @@ def run_real() -> dict:
     interval = cfg.TEST.KEY_FRAME_INTERVAL
 
     pv = PreparedVideo(CLIP, cfg, bucket)
-    # warmup: one-time FFmpeg/export-mvs init + jit compile of both phases
-    frames, smalls, mv, res, info = pv.gop(0)
-    im_info = info[None]
+    # Device program: process_gops (lax.scan over GOPs) — the SAME program
+    # the device-only mode uses. The standalone single-GOP program
+    # (_gop_step) reproducibly faults the axon runtime (UNAVAILABLE at its
+    # first execution) while the scan variant runs — so windows of G GOPs
+    # feed the scan program. G=2 balances pipelining against latency.
+    G = 2
+
+    def dispatch(win, first):
+        frames = np.stack([w_[0] for w_ in win])         # (G, 12, H, W, 3)
+        key_frames = frames[:, 0:1]
+        smalls = np.stack([w_[1][1:] for w_ in win])
+        # f16 MV/residual: ample precision, half the tunnel traffic — and
+        # the f32-input program variants reproducibly fault the axon
+        # backend (bisected: G=4 f16 runs, G=4/G=2/G=1 f32 all fault)
+        mvs = np.stack([w_[2][1:] for w_ in win]).astype(np.float16)
+        ress = np.stack([w_[3][1:] for w_ in win]).astype(np.float16)
+        info = win[0][4][None]
+        out = det.process_gops(key_frames, smalls, mvs, ress, info,
+                               first=first)
+        # sync per window: overlapping the next window's host->device
+        # transfer with in-flight compute faults the axon tunnel runtime
+        # (round-1 finding, reproduced). Decode still overlaps: the
+        # producer thread works through this wait.
+        jax.block_until_ready(out[2])
+        return frames.shape[0] * frames.shape[1]
+
+    # warmup: one-time FFmpeg/export-mvs init + jit compile
+    warm = [pv.gop(0)] * G
     det.reset()
-    jax.block_until_ready(det.process_gop(
-        frames[0:1], smalls[1:], mv[1:], res[1:], im_info, first=True)[2])
+    dispatch(warm, True)
 
     fps_trials = []
     host_ms = dev_ms = 0.0
     for trial in range(TRIALS):
         pv._gop = -1                       # drop the GOP cache: real decode
         det.reset()
-        q: queue.Queue = queue.Queue(maxsize=2)
+        q: queue.Queue = queue.Queue(maxsize=2 * G)
         decode_s = [0.0]
 
         def producer():
@@ -101,24 +125,24 @@ def run_real() -> dict:
         n_frames = 0
         dev_wait = 0.0
         first = True
-        out = None
-        while True:
+        window = []
+        done = False
+        while not done:
             item = q.get()
             if item is None:
-                break
-            frames, smalls, mv, res, info = item
-            d0 = time.perf_counter()
-            out = det.process_gop(frames[0:1], smalls[1:], mv[1:], res[1:],
-                                  info[None], first=first)
-            # sync per GOP: overlapping the NEXT GOP's host->device
-            # transfer with in-flight compute faults the axon tunnel
-            # runtime (UNAVAILABLE/ABORTED — reproduced; round-1 finding).
-            # Decode still overlaps: the producer thread works through
-            # this wait.
-            jax.block_until_ready(out[2])
-            first = False
-            n_frames += frames.shape[0]
-            dev_wait += time.perf_counter() - d0
+                done = True
+            else:
+                window.append(item)
+            if len(window) == G or (done and window):
+                real = len(window)
+                while len(window) < G:     # pad the tail window
+                    window.append(window[-1])
+                d0 = time.perf_counter()
+                per = dispatch(window, first)
+                n_frames += per * real // G   # padded GOPs don't count
+                dev_wait += time.perf_counter() - d0
+                first = False
+                window = []
         dt = time.perf_counter() - t0
         fps = n_frames / dt
         fps_trials.append(fps)

@@ -276,12 +276,19 @@ class PreparedVideo:
         return self._cache
 
     def frame(self, fid: int):
-        """(data (1,bh,bw,3) u8, small (1,...) u8, mv (1,fh,fw,2) f32,
-        res (1,fh,fw,3) f32, im_info (1,3) f32)."""
+        """(data (1,bh,bw,3) u8, small (1,...) u8, mv (1,fh,fw,2) f16,
+        res (1,fh,fw,3) f16, im_info (1,3) f32).
+
+        MV/residual ship as float16: half the tunnel traffic, ample
+        precision (values span ~±400), and — decisive on this runtime —
+        the f32-input variants of the compiled eval programs reproducibly
+        fault the axon TPU backend (UNAVAILABLE at first execution;
+        bisected 2026-08-16), while the f16 variants run."""
         gop, pos = fid // GOP_SIZE, fid % GOP_SIZE
         frames, smalls, mv, res, info = self.gop(gop)
         return (frames[pos:pos + 1], smalls[pos:pos + 1],
-                mv[pos:pos + 1], res[pos:pos + 1], info[None])
+                mv[pos:pos + 1].astype(np.float16),
+                res[pos:pos + 1].astype(np.float16), info[None])
 
 
 def prepared_available() -> bool:
@@ -363,6 +370,8 @@ class EvalLoader:
                     "small": small,
                     "im_info": np.asarray(
                         [[im_r.shape[0], im_r.shape[1], im_scale]], np.float32),
-                    "motion_vector": pad_to_bucket(mv_t, fb),
-                    "res_diff": pad_to_bucket(res_t, fb),
+                    # f16 payloads (see PreparedVideo.frame: precision is
+                    # ample and f32 variants fault the axon runtime)
+                    "motion_vector": pad_to_bucket(mv_t, fb).astype(np.float16),
+                    "res_diff": pad_to_bucket(res_t, fb).astype(np.float16),
                 }

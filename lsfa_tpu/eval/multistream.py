@@ -133,8 +133,8 @@ class MultiStreamEvalLoader:
                                              "res_diff_legacy_swap", False)))
                 datas.append(data)
                 smalls.append(small)
-                mvs.append(pad_to_bucket(mv_t, fb))
-                ress.append(pad_to_bucket(res_t, fb))
+                mvs.append(pad_to_bucket(mv_t, fb).astype(np.float16))
+                ress.append(pad_to_bucket(res_t, fb).astype(np.float16))
                 infos.append([im_r.shape[0], im_r.shape[1], im_scale])
                 lane_meta.append((vi, fid, real))
                 if flag in (0, 1) and vi != prev_video[l]:
