@@ -79,8 +79,10 @@ def run_real() -> dict:
     G = 2
 
     def dispatch(win, first):
-        frames = np.stack([w_[0] for w_ in win])         # (G, 12, H, W, 3)
-        key_frames = frames[:, 0:1]
+        # slice BEFORE stacking: only the key frame ships full-res (the
+        # full stack would copy ~22 MB/GOP of non-key frames for nothing)
+        key_frames = np.stack([w_[0][0:1] for w_ in win])  # (G, 1, H, W, 3)
+        n_frames_win = sum(w_[0].shape[0] for w_ in win)
         smalls = np.stack([w_[1][1:] for w_ in win])
         # f16 MV/residual: ample precision, half the tunnel traffic — and
         # the f32-input program variants reproducibly fault the axon
@@ -95,7 +97,7 @@ def run_real() -> dict:
         # (round-1 finding, reproduced). Decode still overlaps: the
         # producer thread works through this wait.
         jax.block_until_ready(out[2])
-        return frames.shape[0] * frames.shape[1]
+        return n_frames_win
 
     # warmup: one-time FFmpeg/export-mvs init + jit compile
     warm = [pv.gop(0)] * G

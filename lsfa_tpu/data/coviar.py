@@ -63,12 +63,13 @@ def _lib():
     lib.coviar_encode_test_video.argtypes = [
         ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int]
-    if hasattr(lib, "coviar_decode_gop_prepared"):
-        lib.coviar_decode_gop_prepared.restype = ctypes.c_int
-        lib.coviar_decode_gop_prepared.argtypes = [
+    if hasattr(lib, "coviar_decode_gop_prepared_mode"):
+        lib.coviar_decode_gop_prepared_mode.restype = ctypes.c_int
+        lib.coviar_decode_gop_prepared_mode.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_float), ctypes.c_float, ctypes.c_int,
+            ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_float), ctypes.c_int]
@@ -148,7 +149,8 @@ class VideoReader:
                             max_size: int, pixel_means_bgr,
                             pixel_scale: float = 1.0, stride: int = 16,
                             small_factor: int = 4,
-                            legacy_swap: bool = False):
+                            legacy_swap: bool = False,
+                            frames_mode: int = 0):
         """Decode one GOP straight to DEVICE-READY payloads (the C++ data
         plane — ~30x faster than the numpy/PIL chain on one core):
 
@@ -163,7 +165,7 @@ class VideoReader:
         channel-transform bug (needed for exact parity with weights the
         reference trained — image.py:217-218)."""
         lib = self._lib
-        if not hasattr(lib, "coviar_decode_gop_prepared"):
+        if not hasattr(lib, "coviar_decode_gop_prepared_mode"):
             raise RuntimeError("libcoviar_tpu.so too old: rebuild native/")
         bh, bw = bucket_hw
         fh, fw = bh // stride, bw // stride
@@ -171,18 +173,21 @@ class VideoReader:
             n = self.gop_frames(gop_idx)
             if n <= 0:
                 raise IndexError(f"bad gop {gop_idx} for {self.path}")
-            frames = np.empty((n, bh, bw, 3), np.uint8)
+            # mode 1: non-key slots stay zero (calloc pages — no fill cost)
+            alloc = np.zeros if frames_mode == 1 else np.empty
+            frames = alloc((n, bh, bw, 3), np.uint8)
             smalls = np.empty((n, bh // small_factor, bw // small_factor, 3),
                               np.uint8)
             mv = np.empty((n, fh, fw, 2), np.float32)
             res = np.empty((n, fh, fw, 3), np.float32)
             info = np.empty((3,), np.float32)
             means = np.ascontiguousarray(pixel_means_bgr, np.float32)
-            got = lib.coviar_decode_gop_prepared(
+            got = lib.coviar_decode_gop_prepared_mode(
                 self._h, gop_idx, target_size, max_size, bh, bw, stride,
                 small_factor, means.ctypes.data_as(
                     ctypes.POINTER(ctypes.c_float)),
                 ctypes.c_float(pixel_scale), int(legacy_swap),
+                int(frames_mode),
                 frames.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                 smalls.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                 mv.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),

@@ -265,13 +265,19 @@ class PreparedVideo:
         if gop_idx != self._gop:
             cfg = self.cfg
             target, max_size = cfg.SCALES[0]
+            # key frames land on GOP starts when the key interval divides
+            # the GOP size — then only the key frame needs a full-res
+            # resize (frames_mode=1 skips 11/12 of the sws work; non-key
+            # frames ship small+MV+residual only)
+            mode = 1 if cfg.TEST.KEY_FRAME_INTERVAL % GOP_SIZE == 0 else 0
             self._cache = self.reader.decode_gop_prepared(
                 gop_idx, self.bucket_hw, target, max_size,
                 cfg.network.PIXEL_MEANS, cfg.network.PIXEL_SCALE,
                 stride=cfg.network.RCNN_FEAT_STRIDE,
                 small_factor=small_pool_factor(cfg.network.small_net_stride),
                 legacy_swap=bool(getattr(cfg.network,
-                                         "res_diff_legacy_swap", False)))
+                                         "res_diff_legacy_swap", False)),
+                frames_mode=mode)
             self._gop = gop_idx
         return self._cache
 

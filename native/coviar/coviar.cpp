@@ -464,11 +464,18 @@ COVIAR_API int coviar_decode_gop(void* hp, int gop_idx, uint8_t* bgr,
 // (lib/utils/image.py:217-218: output channel 2 reads the already-
 // transformed channel 0) — required for exact parity with weights trained
 // by the reference. Returns #frames, or <0.
-COVIAR_API int coviar_decode_gop_prepared(
+// frames_mode: 0 = every frame resized into `frames`; 1 = KEY frame only
+// (rel>0 slots untouched) with non-key smalls produced by a direct
+// SWS_AREA resize to the small grid — skips 11/12 of the full-frame
+// resizes. Only the key frame ever ships full-res to the device
+// (forward_cur consumes small+MV+residual only), so mode 1 is the
+// production eval path; mode 0 keeps exact box-mean smalls for tests.
+COVIAR_API int coviar_decode_gop_prepared_mode(
     void* hp, int gop_idx, int target_size, int max_size, int bh, int bw,
     int stride, int small_factor, const float* pixel_means_bgr,
-    float pixel_scale, int legacy_swap, uint8_t* frames, uint8_t* smalls,
-    float* mv_out, float* res_out, float* im_info, int max_frames) {
+    float pixel_scale, int legacy_swap, int frames_mode, uint8_t* frames,
+    uint8_t* smalls, float* mv_out, float* res_out, float* im_info,
+    int max_frames) {
     Handle* h = (Handle*)hp;
     const int w = h->width, hgt = h->height;
     const size_t npx = (size_t)w * hgt;
@@ -485,10 +492,12 @@ COVIAR_API int coviar_decode_gop_prepared(
     std::vector<int32_t> res_full(npx * 3);
 
     SwsContext* sws = nullptr;                   // reused across frames
+    SwsContext* sws_small = nullptr;
     auto sink = [&](int rel, const uint8_t* cur, const uint8_t* key,
                     const int32_t* acc) {
         // --- frame: resize + pad in ONE sws pass (dst stride = bucket) ---
-        if (frames) {
+        bool want_full = frames && (frames_mode == 0 || rel == 0);
+        if (want_full) {
             uint8_t* dst_frame = frames + (size_t)rel * bh * bw * 3;
             std::memset(dst_frame, 0, (size_t)bh * bw * 3);
             if (!sws)
@@ -521,6 +530,24 @@ COVIAR_API int coviar_decode_gop_prepared(
                                 (uint8_t)lrintf(sums[c] * inv);
                     }
             }
+        } else if (smalls && frames_mode == 1) {
+            // direct small: SWS_AREA resize straight to the small grid
+            // (approximates box-mean of the bilinear-resized frame; only
+            // non-key frames take this path and only their small is used)
+            uint8_t* sm = smalls + (size_t)rel * sbh * sbw * 3;
+            std::memset(sm, 0, (size_t)sbh * sbw * 3);
+            const int ssh = (sh + small_factor - 1) / small_factor;
+            const int ssw = (sw + small_factor - 1) / small_factor;
+            if (!sws_small)
+                sws_small = sws_getContext(w, hgt, AV_PIX_FMT_BGR24,
+                                           ssw, ssh, AV_PIX_FMT_BGR24,
+                                           SWS_AREA, nullptr, nullptr,
+                                           nullptr);
+            const uint8_t* src[1] = {cur};
+            int src_stride[1] = {3 * w};
+            uint8_t* dst[1] = {sm};
+            int dst_stride[1] = {3 * sbw};
+            sws_scale(sws_small, src, src_stride, 0, hgt, dst, dst_stride);
         }
         // --- MV grid (negated: the Python loader negates, image.py:54) ---
         if (mv_out) {
@@ -581,7 +608,20 @@ COVIAR_API int coviar_decode_gop_prepared(
     };
     int got = decode_gop_core(h, gop_idx, max_frames, true, sink);
     if (sws) sws_freeContext(sws);
+    if (sws_small) sws_freeContext(sws_small);
     return got;
+}
+
+// Backward-compatible entry (frames_mode = 0: every frame resized).
+COVIAR_API int coviar_decode_gop_prepared(
+    void* hp, int gop_idx, int target_size, int max_size, int bh, int bw,
+    int stride, int small_factor, const float* pixel_means_bgr,
+    float pixel_scale, int legacy_swap, uint8_t* frames, uint8_t* smalls,
+    float* mv_out, float* res_out, float* im_info, int max_frames) {
+    return coviar_decode_gop_prepared_mode(
+        hp, gop_idx, target_size, max_size, bh, bw, stride, small_factor,
+        pixel_means_bgr, pixel_scale, legacy_swap, 0, frames, smalls,
+        mv_out, res_out, im_info, max_frames);
 }
 
 // ---- test-clip synthesis (MPEG-4, fixed GOP; b_frames>0 only for the
