@@ -1,1 +1,6 @@
-from lsfa_tpu.parallel.mesh import make_mesh, shard_batch, replicate  # noqa: F401
+from lsfa_tpu.parallel.mesh import (  # noqa: F401
+    initialize_distributed,
+    make_mesh,
+    replicate,
+    shard_batch,
+)

@@ -23,6 +23,32 @@ def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
     return Mesh(np.asarray(devs), (axis,))
 
 
+def initialize_distributed(coordinator: str | None = None,
+                           num_processes: int | None = None,
+                           process_id: int | None = None) -> Mesh:
+    """Multi-host bring-up: join the jax.distributed cluster and return the
+    GLOBAL single-axis mesh over every chip in the slice.
+
+    The reference has no multi-node story at all (kvstore 'dist_sync' is
+    plumbed but never configured — core/module.py:476-477); here the same
+    sharded train/eval programs scale across hosts unchanged: batch/lane
+    axes shard over the global mesh, XLA routes the all-reduce over ICI
+    within a slice and DCN between slices.
+
+    On TPU pods the arguments are discovered from the environment
+    (jax.distributed.initialize() with no args); pass them explicitly for
+    CPU/GPU clusters. Single-process callers can skip straight to
+    make_mesh().
+    """
+    if coordinator is None:
+        jax.distributed.initialize()
+    else:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    return make_mesh()
+
+
 def shard_batch(mesh: Mesh, tree, axis: str = "data"):
     """Place a host batch with the leading dim sharded over the mesh."""
     sh = NamedSharding(mesh, P(axis))

@@ -1,0 +1,53 @@
+"""Frozen-forward golden test: a seeded tiny LSFA on a fixed input must
+keep producing the same activations.
+
+This is the regression tripwire for silent numerics drift in layer
+semantics (padding conventions, BN eps, channel orders, warp alignment...)
+— exactly the class of bug that op-level parity tests can miss when an op
+is "self-consistently wrong". The stored values were generated on the CPU
+backend (tests always run on CPU, see conftest) at commit 14eb725, AFTER
+the MXNet-parity padding fix. If an intentional numerics change lands
+(with its own parity evidence), regenerate with
+tools/gen_golden_forward.py and say so in the commit.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from lsfa_tpu.models.lsfa import LSFA
+
+GOLDEN = {
+    "feat_mean": 6.483993041409842,
+    "feat_std": 9.276739178229288,
+    "feat_sample": [7.942508697509766, 0.0008595437975600362,
+                    10.761423110961914, 0.00298501318320632,
+                    8.917596817016602],
+    "rpnfg_mean": 0.45750536853897145,
+    "cls_mean": 0.42232717117484736,
+    "cls_std": 12.5325652531837,
+}
+
+
+def test_forward_key_matches_golden():
+    m = LSFA(num_classes=5, feat_dim=64, num_layer=18, add_dcn=True,
+             dtype=jnp.float32)
+    H, W = 64, 96
+    rng = np.random.default_rng(1234)
+    data = jnp.asarray(rng.normal(0, 40, (1, H, W, 3)).astype(np.float32))
+    v = m.init(jax.random.PRNGKey(7), data, data, data, jnp.ones((1,)),
+               jnp.ones((1,)), jnp.zeros((1, 4, 6, 2)),
+               jnp.zeros((1, 4, 6, 3)))
+    old = jnp.asarray(rng.normal(0, 1, (1, 4, 6, 64)).astype(np.float32))
+    out = m.apply(v, data, data, old, jnp.zeros((1,)), method=m.forward_key)
+
+    f = np.asarray(out["feat"], np.float64)
+    np.testing.assert_allclose(f.mean(), GOLDEN["feat_mean"], rtol=1e-4)
+    np.testing.assert_allclose(f.std(), GOLDEN["feat_std"], rtol=1e-4)
+    np.testing.assert_allclose(f[0, 2, 3, :5], GOLDEN["feat_sample"],
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out["rpn_fg"]).mean(),
+                               GOLDEN["rpnfg_mean"], rtol=1e-4)
+    c = np.asarray(out["rfcn_cls_map"], np.float64)
+    np.testing.assert_allclose(c.mean(), GOLDEN["cls_mean"], rtol=1e-3)
+    np.testing.assert_allclose(c.std(), GOLDEN["cls_std"], rtol=1e-4)
