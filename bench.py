@@ -230,12 +230,77 @@ def run_device_only() -> dict:
     }
 
 
+def run_multistream(lanes: int) -> dict:
+    """Aggregate throughput: `lanes` video streams in lockstep through the
+    lane-batched GOP-scan program (one dispatch per G GOPs x lanes frames)
+    — the TPU-native form of the reference's multi-GPU video sharding."""
+    import jax
+
+    from lsfa_tpu.config import get_default_config
+    from lsfa_tpu.eval.tester import StreamingDetector
+    from lsfa_tpu.models.lsfa import lsfa_from_config
+    import jax.numpy as jnp
+
+    cfg = get_default_config()
+    model = lsfa_from_config(cfg)
+    h, w = cfg.tpu.default_bucket
+    fh, fw = h // 16, w // 16
+    rng = jax.random.PRNGKey(0)
+    z = jnp.zeros((1, h, w, 3), jnp.float32)
+    variables = model.init(rng, z, z, z, jnp.ones((1,)), jnp.ones((1,)),
+                           jnp.zeros((1, fh, fw, 2)),
+                           jnp.zeros((1, fh, fw, 3)))
+    det = StreamingDetector(model, variables, cfg, (h, w), batch=lanes)
+    interval = cfg.TEST.KEY_FRAME_INTERVAL
+    n = interval - 1
+    G = 2
+    rnd = np.random.default_rng(0)
+    keys = rnd.integers(0, 255, (G, lanes, h, w, 3)).astype(np.uint8)
+    smalls = rnd.integers(0, 255, (G, n, lanes, h // 4, w // 4, 3)).astype(np.uint8)
+    mvs = rnd.normal(0, 1, (G, n, lanes, fh, fw, 2)).astype(np.float16)
+    ress = rnd.normal(0, 8, (G, n, lanes, fh, fw, 3)).astype(np.float16)
+    im_info = np.tile(np.asarray([[600.0, 1000.0, 1.04]], np.float32),
+                      (lanes, 1))
+
+    det.reset()
+    jax.block_until_ready(det.process_gops(keys, smalls, mvs, ress, im_info,
+                                           first=True)[2])
+    n_windows = 4
+    trials = []
+    for t in range(TRIALS):
+        det.reset()
+        t0 = time.perf_counter()
+        for i in range(n_windows):
+            out = det.process_gops(keys, smalls, mvs, ress, im_info,
+                                   first=(i == 0))
+            jax.block_until_ready(out[2])
+        dt = time.perf_counter() - t0
+        trials.append(n_windows * G * interval * lanes / dt)
+        print(f"trial {t}: {trials[-1]:.1f} FPS aggregate ({lanes} lanes)",
+              file=sys.stderr, flush=True)
+    fps = float(np.median(trials))
+    print(f"all trials: {[round(f, 1) for f in trials]}", file=sys.stderr,
+          flush=True)
+    return {
+        "metric": "lsfa_multistream_device_fps",
+        "value": round(fps, 2),
+        "unit": (f"frames/sec aggregate, {lanes} lockstep streams, device "
+                 f"loop only (608x1024, median of {TRIALS})"),
+        "vs_baseline": round(fps / 30.0, 3),
+    }
+
+
 def main():
     from lsfa_tpu.utils.env import setup_cache
 
     setup_cache()
-    mode_device_only = "--device-only" in sys.argv
-    result = run_device_only() if mode_device_only else run_real()
+    if "--multistream" in sys.argv:
+        lanes = int(sys.argv[sys.argv.index("--multistream") + 1])
+        result = run_multistream(lanes)
+    elif "--device-only" in sys.argv:
+        result = run_device_only()
+    else:
+        result = run_real()
     print(json.dumps(result))
 
 

@@ -73,6 +73,17 @@ def _lib():
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_float), ctypes.c_int]
+    if hasattr(lib, "coviar_decode_train_sample"):
+        lib.coviar_decode_train_sample.restype = ctypes.c_int
+        lib.coviar_decode_train_sample.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_float, ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float)]
     if hasattr(lib, "coviar_encode_test_video_b"):
         lib.coviar_encode_test_video_b.restype = ctypes.c_int
         lib.coviar_encode_test_video_b.argtypes = [
@@ -196,6 +207,44 @@ class VideoReader:
             if got != n:
                 raise IOError(f"prepared-decoded {got}/{n} of gop {gop_idx}")
             return frames, smalls, mv, res, info
+
+
+    def decode_train_sample(self, cur_id: int, bucket_hw, target_size: int,
+                            max_size: int, pixel_means_bgr,
+                            pixel_scale: float = 1.0, stride: int = 16,
+                            legacy_swap: bool = False, flip: bool = False):
+        """One get_pair_image training sample (lib/utils/image.py:92-200)
+        as device-ready payloads: (data, data_ref, data_ref_old —
+        (bh,bw,3) u8 resized+padded, flip applied at the source), mv
+        (fh,fw,2) f32, res (fh,fw,3) f32, im_info (3,) f32. ~12x faster
+        than the per-frame Python chain."""
+        lib = self._lib
+        if not hasattr(lib, "coviar_decode_train_sample"):
+            raise RuntimeError("libcoviar_tpu.so too old: rebuild native/")
+        bh, bw = bucket_hw
+        fh, fw = bh // stride, bw // stride
+        with self._lock:
+            data = np.empty((bh, bw, 3), np.uint8)
+            ref = np.empty((bh, bw, 3), np.uint8)
+            old = np.empty((bh, bw, 3), np.uint8)
+            mv = np.empty((fh, fw, 2), np.float32)
+            res = np.empty((fh, fw, 3), np.float32)
+            info = np.empty((3,), np.float32)
+            means = np.ascontiguousarray(pixel_means_bgr, np.float32)
+            u8p = ctypes.POINTER(ctypes.c_uint8)
+            f32p = ctypes.POINTER(ctypes.c_float)
+            rc = lib.coviar_decode_train_sample(
+                self._h, cur_id, target_size, max_size, bh, bw, stride,
+                means.ctypes.data_as(f32p), ctypes.c_float(pixel_scale),
+                int(legacy_swap), int(flip),
+                data.ctypes.data_as(u8p), ref.ctypes.data_as(u8p),
+                old.ctypes.data_as(u8p),
+                mv.ctypes.data_as(f32p), res.ctypes.data_as(f32p),
+                info.ctypes.data_as(f32p))
+            if rc < 0:
+                raise IOError(
+                    f"train-sample decode failed rc={rc} (frame {cur_id})")
+            return data, ref, old, mv, res, info, rc   # rc = pos in GOP
 
 
 @functools.lru_cache(maxsize=8)

@@ -43,12 +43,16 @@ def _read_jpeg_bgr(path: str) -> np.ndarray:
     return im[:, :, ::-1].astype(np.float32)
 
 
-def load_pair_sample(rec, cfg, rng: np.random.Generator):
+def load_pair_sample(rec, cfg, rng: np.random.Generator, bucket_hw=None):
     """One training sample following the get_pair_image contract.
 
     Returns dict of host arrays: data/data_ref/data_ref_old (1,H,W,3 NHWC),
     eq_flag, eq_flag_old, motion_vector (1,fh,fw,2), res_diff (1,fh,fw,3),
     im_info (3,), gt_boxes (G,5 scaled).
+
+    When `bucket_hw` is given and the C++ data plane is built, the whole
+    sample (3 frames + MV/residual grids, flip included) comes from ONE
+    native call (~12x the Python chain) with bucket-shaped outputs.
     """
     means = cfg.network.PIXEL_MEANS
     scale = cfg.network.PIXEL_SCALE
@@ -64,6 +68,45 @@ def load_pair_sample(rec, cfg, rng: np.random.Generator):
         raise FileNotFoundError(
             f"video record {rec.get('image', '?')} has no readable "
             f"compressed stream (video_path={video!r})")
+
+    # ---- native fast path -------------------------------------------------
+    if (use_video and bucket_hw is not None and prepared_available()
+            and rec["frame_seg_id"] < coviar.get_num_frames(video)):
+        cur_id = rec["frame_seg_id"]
+        target, max_size = cfg.SCALES[int(rng.integers(len(cfg.SCALES)))]
+        r = coviar._reader(video)
+        data, ref, old, mv_t, res_t, info, pos = r.decode_train_sample(
+            cur_id, bucket_hw, target, max_size, means, scale,
+            stride=cfg.network.RCNN_FEAT_STRIDE,
+            legacy_swap=bool(getattr(cfg.network,
+                                     "res_diff_legacy_swap", False)),
+            flip=bool(rec.get("flipped")))
+        ref_id = int(np.clip(
+            cur_id + rng.integers(cfg.TRAIN.MIN_OFFSET,
+                                  cfg.TRAIN.MAX_OFFSET + 1),
+            0, rec["frame_seg_len"] - 1))
+        if pos == 0 or ref_id == cur_id:       # degenerate pair: key path
+            eq_flag = 1.0
+            ref = old = data
+            mv_t = np.zeros_like(mv_t)
+            res_t = np.zeros_like(res_t)
+        elif cur_id - pos == 0:                # first GOP: old ref == ref
+            eq_flag_old = 1.0
+        im_scale = float(info[2])
+        boxes = rec["boxes"] * im_scale
+        if rec.get("flipped"):
+            pass   # roidb boxes are already stored flipped (append_flipped)
+        gt = np.concatenate(
+            [boxes, rec["gt_classes"][:, None].astype(np.float32)], axis=1)
+        return {
+            "data": data[None], "data_ref": ref[None],
+            "data_ref_old": old[None],
+            "eq_flag": eq_flag, "eq_flag_old": eq_flag_old,
+            "motion_vector": mv_t[None], "res_diff": res_t[None],
+            "im_info": np.asarray([info[0], info[1], im_scale], np.float32),
+            "gt_boxes": gt,
+        }
+
     if use_video:
         cur_id = rec["frame_seg_id"]
         gop_id, pos_id = cur_id // GOP_SIZE, cur_id % GOP_SIZE
@@ -142,10 +185,14 @@ def collate_train_batch(samples, bucket_hw, max_gt: int = 100):
             [pad_to_bucket(s["data_ref"], bucket_hw) for s in samples]),
         "data_ref_old": np.concatenate(
             [pad_to_bucket(s["data_ref_old"], bucket_hw) for s in samples]),
+        # f16 payloads: ample precision, and f32 MV/residual inputs fault
+        # the axon TPU backend (see PreparedVideo.frame)
         "motion_vector": np.concatenate(
-            [pad_to_bucket(s["motion_vector"], fb) for s in samples]),
+            [pad_to_bucket(s["motion_vector"], fb) for s in samples]
+        ).astype(np.float16),
         "res_diff": np.concatenate(
-            [pad_to_bucket(s["res_diff"], fb) for s in samples]),
+            [pad_to_bucket(s["res_diff"], fb) for s in samples]
+        ).astype(np.float16),
         "eq_flag": np.asarray([s["eq_flag"] for s in samples], np.float32),
         "eq_flag_old": np.asarray([s["eq_flag_old"] for s in samples],
                                   np.float32),
@@ -234,7 +281,8 @@ class TrainLoader:
                     bi, idxs = idx_q.get_nowait()
                 except queue.Empty:
                     return
-                samples = [load_pair_sample(self.roidb[j], self.cfg, wrng)
+                samples = [load_pair_sample(self.roidb[j], self.cfg, wrng,
+                                            bucket_hw=self.buckets[bi])
                            for j in idxs]
                 q.put(collate_train_batch(samples, self.buckets[bi],
                                           self.max_gt))

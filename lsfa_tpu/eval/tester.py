@@ -135,7 +135,14 @@ class StreamingDetector:
             outputs to sequential process_gop (the recurrence order is
             preserved); amortizes the per-dispatch round-trip over
             G * interval frames. This is the TPU-native generalization of
-            the reference's get_batch_test_symbol batching."""
+            the reference's get_batch_test_symbol batching.
+
+            Lane-batched form (B video streams in lockstep — the
+            throughput answer to the reference's process-per-GPU video
+            sharding): key_frames (G, B, H, W, 3), non-key tensors
+            (G, n, B, ...); non-key work folds the (n, B) axes into one
+            device batch per GOP. B==1 inputs keep the original
+            (G, n, ...) layout."""
 
             def body(carry, xs):
                 feat_key_old, data_key_old = carry
@@ -145,12 +152,25 @@ class StreamingDetector:
                                    method=model.forward_key)
                 kd, kv = detect_batch(kout, self._anchors, im_info, **det_kw)
                 n = sm.shape[0]
-                fk = jnp.broadcast_to(kout["feat"],
-                                      (n,) + kout["feat"].shape[1:])
-                cout = model.apply(variables, sm, fk, mv, rs,
-                                   method=model.forward_cur)
-                cd, cv = detect_batch(cout, self._anchors, im_info[0],
-                                      **det_kw)
+                if sm.ndim == 5:      # lane-batched: (n, B, ...)
+                    b_lanes = sm.shape[1]
+                    sm_f = sm.reshape((n * b_lanes,) + sm.shape[2:])
+                    mv_f = mv.reshape((n * b_lanes,) + mv.shape[2:])
+                    rs_f = rs.reshape((n * b_lanes,) + rs.shape[2:])
+                    fk = jnp.tile(kout["feat"], (n, 1, 1, 1))
+                    ii = jnp.tile(im_info, (n, 1))
+                    cout = model.apply(variables, sm_f, fk, mv_f, rs_f,
+                                       method=model.forward_cur)
+                    cd, cv = detect_batch(cout, self._anchors, ii, **det_kw)
+                    cd = cd.reshape((n, b_lanes) + cd.shape[1:])
+                    cv = cv.reshape((n, b_lanes) + cv.shape[1:])
+                else:
+                    fk = jnp.broadcast_to(kout["feat"],
+                                          (n,) + kout["feat"].shape[1:])
+                    cout = model.apply(variables, sm, fk, mv, rs,
+                                       method=model.forward_cur)
+                    cd, cv = detect_batch(cout, self._anchors, im_info[0],
+                                          **det_kw)
                 return (kout["feat"], kout["prep"]), (kd, kv, cd, cv)
 
             (feat, prep), outs = jax.lax.scan(

@@ -612,6 +612,162 @@ COVIAR_API int coviar_decode_gop_prepared_mode(
     return got;
 }
 
+// ---- training-sample fast path --------------------------------------------
+// One call produces a COMPLETE get_pair_image sample (lib/utils/image.py:
+// 92-200) as device-ready payloads: the current frame, its GOP key
+// ("ref"), the previous GOP's key ("old ref"), and the current frame's
+// accumulated-MV / residual grids — all resized (target/max rule), padded
+// to the bucket, with optional horizontal flip (applied to the SOURCE like
+// the reference's append_flipped + loader, incl. the MV x-negation).
+// The Python chain costs ~500 ms/sample on one core; this runs in ~40 ms.
+// Returns the in-GOP position of cur (>=0), or <0 on error.
+namespace {
+
+void flip_bgr_rows(const uint8_t* src, uint8_t* dst, int w, int hgt) {
+    for (int y = 0; y < hgt; y++)
+        for (int x = 0; x < w; x++)
+            std::memcpy(dst + ((size_t)y * w + x) * 3,
+                        src + ((size_t)y * w + (w - 1 - x)) * 3, 3);
+}
+
+}  // namespace
+
+COVIAR_API int coviar_decode_train_sample(
+    void* hp, int cur_id, int target_size, int max_size, int bh, int bw,
+    int stride, const float* pixel_means_bgr, float pixel_scale,
+    int legacy_swap, int flip,
+    uint8_t* data, uint8_t* data_ref, uint8_t* data_ref_old,
+    float* mv_out, float* res_out, float* im_info) {
+    Handle* h = (Handle*)hp;
+    const int w = h->width, hgt = h->height;
+    const size_t npx = (size_t)w * hgt;
+    if (cur_id < 0 || cur_id >= (int)h->is_key.size()) return -1;
+    // GOP index via the REAL keyframe index (matches gop_frames semantics)
+    int gop = 0;
+    for (size_t i = 0; i < h->gop_start.size(); i++)
+        if (h->gop_start[i] <= cur_id) gop = (int)i;
+    int pos = cur_id - h->gop_start[gop];
+
+    double s = resize_scale(hgt, w, target_size, max_size);
+    const int sh = (int)lrint(hgt * s), sw = (int)lrint(w * s);
+    if (sh > bh || sw > bw) { set_err(h, "bucket too small"); return -3; }
+    const int fh = bh / stride, fw = bw / stride;
+    const int gh = (sh + stride - 1) / stride, gw = (sw + stride - 1) / stride;
+    if (im_info) { im_info[0] = (float)sh; im_info[1] = (float)sw;
+                   im_info[2] = (float)s; }
+
+    SwsContext* sws = sws_getContext(w, hgt, AV_PIX_FMT_BGR24, sw, sh,
+                                     AV_PIX_FMT_BGR24, SWS_BILINEAR,
+                                     nullptr, nullptr, nullptr);
+    std::vector<uint8_t> flipbuf(flip ? npx * 3 : 0);
+    auto emit_frame = [&](const uint8_t* cur, uint8_t* dst_frame) {
+        const uint8_t* use = cur;
+        if (flip) { flip_bgr_rows(cur, flipbuf.data(), w, hgt);
+                    use = flipbuf.data(); }
+        std::memset(dst_frame, 0, (size_t)bh * bw * 3);
+        const uint8_t* src[1] = {use};
+        int src_stride[1] = {3 * w};
+        uint8_t* dst[1] = {dst_frame};
+        int dst_stride[1] = {3 * bw};
+        sws_scale(sws, src, src_stride, 0, hgt, dst, dst_stride);
+    };
+
+    // previous GOP's key frame -> old_ref (first GOP: old_ref = ref)
+    int old_gop = gop > 0 ? gop - 1 : 0;
+    bool got_old = false;
+    if (data_ref_old && old_gop != gop) {
+        int rc = decode_gop_core(
+            h, old_gop, 1, false,
+            [&](int rel, const uint8_t* cur, const uint8_t*,
+                const int32_t*) {
+                if (rel == 0) { emit_frame(cur, data_ref_old);
+                                got_old = true; }
+            });
+        if (rc < 0) { sws_freeContext(sws); return rc; }
+    }
+
+    // current GOP: ref (rel 0) + cur (rel pos) + cur's acc MV / residual
+    std::vector<int32_t> res_full(npx * 3);
+    std::vector<float> fbuf(npx * 3);
+    bool got_cur = false, got_ref = false;
+    int rc = decode_gop_core(
+        h, gop, pos + 1, true,
+        [&](int rel, const uint8_t* cur, const uint8_t* key,
+            const int32_t* acc) {
+            if (rel == 0 && data_ref) { emit_frame(cur, data_ref);
+                                        got_ref = true; }
+            if (rel != pos) return;
+            got_cur = true;
+            if (data) emit_frame(cur, data);
+            if (mv_out) {
+                if (pos == 0) {
+                    std::memset(mv_out, 0, sizeof(float) * fh * fw * 2);
+                } else {
+                    // python loader: mv = -acc, then flip => cols mirrored
+                    // and x re-negated (image.py:54 + loader flip)
+                    for (int y = 0; y < hgt; y++)
+                        for (int x = 0; x < w; x++) {
+                            int xs = flip ? (w - 1 - x) : x;
+                            const int32_t* a =
+                                acc + ((size_t)y * w + xs) * 2;
+                            float* f = fbuf.data() + ((size_t)y * w + x) * 2;
+                            f[0] = flip ? (float)a[0] : -(float)a[0];
+                            f[1] = -(float)a[1];
+                        }
+                    mv_res_to_grid(fbuf.data(), hgt, w, 2, sh, sw,
+                                   gh, gw, fh, fw, stride, mv_out);
+                    const float mscale = (float)(s / stride);
+                    for (int i = 0; i < fh * fw * 2; i++)
+                        mv_out[i] *= mscale;
+                }
+            }
+            if (res_out) {
+                if (pos == 0) {
+                    std::memset(res_out, 0, sizeof(float) * fh * fw * 3);
+                } else {
+                    compute_residual(cur, key, acc, res_full.data(), w, hgt);
+                    for (int y = 0; y < hgt; y++)
+                        for (int x = 0; x < w; x++) {
+                            int xs = flip ? (w - 1 - x) : x;
+                            const int32_t* r =
+                                res_full.data() + ((size_t)y * w + xs) * 3;
+                            float* f = fbuf.data() + ((size_t)y * w + x) * 3;
+                            f[0] = (float)r[0]; f[1] = (float)r[1];
+                            f[2] = (float)r[2];
+                        }
+                    std::vector<float> grid((size_t)fh * fw * 3);
+                    mv_res_to_grid(fbuf.data(), hgt, w, 3, sh, sw,
+                                   gh, gw, fh, fw, stride, grid.data());
+                    std::memset(res_out, 0, sizeof(float) * (size_t)fh * fw * 3);
+                    const float mB = pixel_means_bgr[0],
+                                mG = pixel_means_bgr[1],
+                                mR = pixel_means_bgr[2];
+                    for (int fy = 0; fy < gh; fy++)
+                        for (int fx = 0; fx < gw; fx++) {
+                            int i = fy * fw + fx;
+                            float b = grid[i * 3 + 0], g = grid[i * 3 + 1],
+                                  r = grid[i * 3 + 2];
+                            float o0 = (r - mR) * pixel_scale;
+                            float o1 = (g - mG) * pixel_scale;
+                            float o2 = legacy_swap
+                                           ? (o0 - mB) * pixel_scale
+                                           : (b - mB) * pixel_scale;
+                            res_out[i * 3 + 0] = o0;
+                            res_out[i * 3 + 1] = o1;
+                            res_out[i * 3 + 2] = o2;
+                        }
+                }
+            }
+        });
+    sws_freeContext(sws);
+    if (rc < 0) return rc;
+    if (!got_cur || (data_ref && !got_ref)) return -4;
+    if (data_ref_old && old_gop == gop && data_ref)
+        std::memcpy(data_ref_old, data_ref, (size_t)bh * bw * 3);
+    else if (data_ref_old && !got_old && old_gop != gop) return -5;
+    return pos;
+}
+
 // Backward-compatible entry (frames_mode = 0: every frame resized).
 COVIAR_API int coviar_decode_gop_prepared(
     void* hp, int gop_idx, int target_size, int max_size, int bh, int bw,

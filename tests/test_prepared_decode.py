@@ -136,3 +136,79 @@ def test_prepared_matches_python_loader_contract(clip):
     assert smalls.shape[1:] == (bh // 4, bw // 4, 3)
     assert mv.shape[1:] == (bh // 16, bw // 16, 2)
     assert res.shape[1:] == (bh // 16, bw // 16, 3)
+
+
+def test_train_sample_fast_path_parity(clip):
+    """coviar_decode_train_sample vs the Python load_pair_sample chain on
+    the same record: same eq flags, same im_info, matching frames (sws vs
+    PIL tolerance) and near-identical MV/residual grids (cv2-convention C
+    vs PIL-resampled Python: both downsample the same fields; compared
+    loosely since the fallback uses PIL filtering)."""
+    from lsfa_tpu.config import get_default_config
+    from lsfa_tpu.data.loader import load_pair_sample
+
+    cfg = get_default_config()
+    cfg.SCALES = [(TARGET, MAXSZ)]
+    cfg.TRAIN.MIN_OFFSET = -9
+    cfg.TRAIN.MAX_OFFSET = -9
+    rec = {"image": "x.JPEG", "height": H, "width": W,
+           "pattern": "x/%06d.JPEG", "frame_seg_id": 17, "frame_seg_len": 24,
+           "video_path": clip,
+           "boxes": np.asarray([[10.0, 10, 60, 50]], np.float32),
+           "gt_classes": np.asarray([1], np.int32), "flipped": False}
+
+    fast = load_pair_sample(rec, cfg, np.random.default_rng(0),
+                            bucket_hw=BUCKET)
+    slow = load_pair_sample(rec, cfg, np.random.default_rng(0))
+    assert fast["eq_flag"] == slow["eq_flag"] == 0.0
+    assert fast["eq_flag_old"] == slow["eq_flag_old"]
+    np.testing.assert_allclose(fast["im_info"], slow["im_info"], rtol=1e-5)
+    sh, sw = int(slow["im_info"][0]), int(slow["im_info"][1])
+    # frames: fast is bucket-padded uint8; compare the real region
+    a = fast["data"][0, :sh, :sw].astype(np.float64)
+    b = slow["data"][0, :sh, :sw].astype(np.float64)
+    assert np.abs(a - b).mean() < 4.0
+    # grids: same real cells (fast is bucket-shaped, slow is grid-shaped)
+    gh, gw = slow["motion_vector"].shape[1:3]
+    mv_f = fast["motion_vector"][0, :gh, :gw]
+    mv_s = slow["motion_vector"][0]
+    # mean-based: C is cv2-exact (oracle-tested), the Python fallback uses
+    # PIL's antialiased filter — isolated cells at MV block edges differ
+    assert np.abs(mv_f - mv_s).mean() < 0.05
+    rs_f = fast["res_diff"][0, :gh, :gw]
+    rs_s = slow["res_diff"][0]
+    assert np.abs(rs_f - rs_s).mean() < 6.0
+    # bucket padding beyond the real grid is zero
+    assert np.abs(fast["motion_vector"][0, gh:]).sum() == 0
+
+
+def test_train_sample_fast_path_flip(clip):
+    """Flip: the fast path must mirror frames and negate MV x like the
+    Python path (append_flipped + loader, image.py flip handling)."""
+    from lsfa_tpu.config import get_default_config
+    from lsfa_tpu.data.loader import load_pair_sample
+
+    cfg = get_default_config()
+    cfg.SCALES = [(TARGET, MAXSZ)]
+    cfg.TRAIN.MIN_OFFSET = -9
+    cfg.TRAIN.MAX_OFFSET = -9
+    base = {"image": "x.JPEG", "height": H, "width": W,
+            "pattern": "x/%06d.JPEG", "frame_seg_id": 17,
+            "frame_seg_len": 24, "video_path": clip,
+            "boxes": np.asarray([[10.0, 10, 60, 50]], np.float32),
+            "gt_classes": np.asarray([1], np.int32)}
+    plain = load_pair_sample(dict(base, flipped=False), cfg,
+                             np.random.default_rng(0), bucket_hw=BUCKET)
+    flip = load_pair_sample(dict(base, flipped=True), cfg,
+                            np.random.default_rng(0), bucket_hw=BUCKET)
+    sh, sw = int(plain["im_info"][0]), int(plain["im_info"][1])
+    a = plain["data"][0, :sh, :sw].astype(np.float64)
+    b = flip["data"][0, :sh, :sw, :][:, ::-1].astype(np.float64)
+    assert np.abs(a - b).mean() < 2.0
+    # MV: flipped-x field mirrors and negates dx (loosely — resampling
+    # grids differ slightly after mirroring)
+    gh, gw = (sh + 15) // 16, (sw + 15) // 16
+    mv_p = plain["motion_vector"][0, :gh, :gw]
+    mv_f = flip["motion_vector"][0, :gh, :gw]
+    assert np.abs(mv_p[..., 0] + mv_f[:, ::-1, 0]).mean() < 0.2
+    assert np.abs(mv_p[..., 1] - mv_f[:, ::-1, 1]).mean() < 0.2

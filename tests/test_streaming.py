@@ -158,6 +158,54 @@ def test_lane_sharded_equals_local(detector):
     np.testing.assert_array_equal(outs[0][3], outs[1][3])
 
 
+def test_lane_batched_gop_scan_equals_streaming(detector):
+    """Lane-batched multi-GOP scan (B videos in lockstep through one scan
+    program) must reproduce per-frame streaming at batch B — the
+    throughput mode composing the recurrence batching (SURVEY §5) with
+    inference DP."""
+    cfg = detector.cfg
+    model, variables = detector.model, detector.variables
+    B, g, n, s = 2, 2, 3, 4
+    det = StreamingDetector(model, variables, cfg, (H, W), batch=B)
+    rng = np.random.default_rng(21)
+    im_info = np.tile(np.asarray([[H * 1.0, W * 1.0, 1.0]], np.float32),
+                      (B, 1))
+    keys = rng.normal(0, 40, (g, B, H, W, 3)).astype(np.float32)
+    frames = rng.normal(0, 40, (g, n, B, H, W, 3)).astype(np.float32)
+    smalls = frames.reshape(g, n, B, H // s, s, W // s, s, 3).mean((4, 6))
+    mvs = rng.normal(0, 0.5, (g, n, B, H // 16, W // 16, 2)).astype(np.float32)
+    ress = rng.normal(0, 5, (g, n, B, H // 16, W // 16, 3)).astype(np.float32)
+
+    # reference: per-frame streaming at batch B
+    det.reset()
+    stream = []
+    for gi in range(g):
+        d, v = det.process_frame(keys[gi], im_info,
+                                 flag=0 if gi == 0 else 1)
+        stream.append((np.asarray(d), np.asarray(v)))
+        for i in range(n):
+            d, v = det.process_frame(None, im_info, mvs[gi, i], ress[gi, i],
+                                     flag=2, small=smalls[gi, i])
+            stream.append((np.asarray(d), np.asarray(v)))
+
+    # lane-batched scan: one dispatch
+    det.reset()
+    kd, kv, cd, cv = det.process_gops(keys, smalls, mvs, ress, im_info,
+                                      first=True)
+    kd, cd, cv = np.asarray(kd), np.asarray(cd), np.asarray(cv)
+    # folded (n*B) batch vs vmapped batch fuse differently -> tiny FP
+    # differences in box coords; atol 1e-2 px
+    for gi in range(g):
+        np.testing.assert_allclose(kd[gi], stream[gi * (n + 1)][0],
+                                   rtol=1e-3, atol=1e-2)
+        for i in range(n):
+            np.testing.assert_allclose(
+                cd[gi, i], stream[gi * (n + 1) + 1 + i][0],
+                rtol=1e-3, atol=1e-2)
+            np.testing.assert_array_equal(
+                cv[gi, i], stream[gi * (n + 1) + 1 + i][1])
+
+
 def test_small_net_stride8_streaming():
     """small_net_stride=8 end-to-end: the host ships a 1/2-downscaled frame,
     the small trunk runs 2 stages and fuses its stage-2 (stride-8 relative,
