@@ -2,7 +2,14 @@
 the CPU backend; paste the printed dict into the test when an INTENTIONAL
 numerics change lands)."""
 import os
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# EXACTLY the test environment (tests/conftest.py): the 8-virtual-device
+# CPU flag changes XLA's partitioning enough to shift activations ~0.2%
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
 import numpy as np, jax, jax.numpy as jnp
 import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))

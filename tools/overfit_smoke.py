@@ -18,10 +18,13 @@ import numpy as np
 
 def main(steps=80):
     import jax
-    try:
-        jax.config.update("jax_platforms", "cpu")
-    except RuntimeError:
-        pass
+    if "--tpu" not in sys.argv:
+        # default CPU (deterministic, test-suite friendly); --tpu drives
+        # the same learn->detect loop on the real chip
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass
     import jax.numpy as jnp
 
     from lsfa_tpu.config import load_config
