@@ -66,6 +66,10 @@ class MultiStreamEvalLoader:
             return None
         pv = self._prepared.get(video)
         if pv is None:
+            # bounded cache: each PreparedVideo holds a ~30 MB GOP cache;
+            # keep at most one per lane plus slack
+            if len(self._prepared) >= 2 * self.lanes:
+                self._prepared.pop(next(iter(self._prepared)))
             pv = PreparedVideo(video, self.cfg, self.bucket_hw)
             self._prepared[video] = pv
         if fid >= pv.num_frames:
