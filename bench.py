@@ -32,7 +32,7 @@ N_GOPS = 12
 TRIALS = 5
 
 
-def _build_detector():
+def _build_detector(batch: int = 1):
     import jax
     import jax.numpy as jnp
 
@@ -50,7 +50,7 @@ def _build_detector():
     zres = jnp.zeros((1, fh, fw, 3), jnp.float32)
     variables = model.init(rng, zdata, zdata, zdata, jnp.ones((1,)),
                            jnp.ones((1,)), zmv, zres)
-    det = StreamingDetector(model, variables, cfg, (h, w))
+    det = StreamingDetector(model, variables, cfg, (h, w), batch=batch)
     return cfg, det
 
 
@@ -68,7 +68,6 @@ def run_real() -> dict:
                                  h=CLIP_H, gop_size=12, seed=3)
     cfg, det = _build_detector()
     bucket = tuple(cfg.tpu.default_bucket)
-    interval = cfg.TEST.KEY_FRAME_INTERVAL
 
     pv = PreparedVideo(CLIP, cfg, bucket)
     # Device program: process_gops (lax.scan over GOPs) — the SAME program
@@ -78,11 +77,11 @@ def run_real() -> dict:
     # feed the scan program. G=2 balances pipelining against latency.
     G = 2
 
-    def dispatch(win, first):
+    def dispatch(win, first, real):
         # slice BEFORE stacking: only the key frame ships full-res (the
         # full stack would copy ~22 MB/GOP of non-key frames for nothing)
         key_frames = np.stack([w_[0][0:1] for w_ in win])  # (G, 1, H, W, 3)
-        n_frames_win = sum(w_[0].shape[0] for w_ in win)
+        n_frames_win = sum(w_[0].shape[0] for w_ in win[:real])
         smalls = np.stack([w_[1][1:] for w_ in win])
         # f16 MV/residual: ample precision, half the tunnel traffic — and
         # the f32-input program variants reproducibly fault the axon
@@ -102,7 +101,7 @@ def run_real() -> dict:
     # warmup: one-time FFmpeg/export-mvs init + jit compile
     warm = [pv.gop(0)] * G
     det.reset()
-    dispatch(warm, True)
+    dispatch(warm, True, G)
 
     fps_trials = []
     host_ms = dev_ms = 0.0
@@ -140,8 +139,7 @@ def run_real() -> dict:
                 while len(window) < G:     # pad the tail window
                     window.append(window[-1])
                 d0 = time.perf_counter()
-                per = dispatch(window, first)
-                n_frames += per * real // G   # padded GOPs don't count
+                n_frames += dispatch(window, first, real)
                 dev_wait += time.perf_counter() - d0
                 first = False
                 window = []
@@ -236,21 +234,9 @@ def run_multistream(lanes: int) -> dict:
     — the TPU-native form of the reference's multi-GPU video sharding."""
     import jax
 
-    from lsfa_tpu.config import get_default_config
-    from lsfa_tpu.eval.tester import StreamingDetector
-    from lsfa_tpu.models.lsfa import lsfa_from_config
-    import jax.numpy as jnp
-
-    cfg = get_default_config()
-    model = lsfa_from_config(cfg)
+    cfg, det = _build_detector(batch=lanes)
     h, w = cfg.tpu.default_bucket
     fh, fw = h // 16, w // 16
-    rng = jax.random.PRNGKey(0)
-    z = jnp.zeros((1, h, w, 3), jnp.float32)
-    variables = model.init(rng, z, z, z, jnp.ones((1,)), jnp.ones((1,)),
-                           jnp.zeros((1, fh, fw, 2)),
-                           jnp.zeros((1, fh, fw, 3)))
-    det = StreamingDetector(model, variables, cfg, (h, w), batch=lanes)
     interval = cfg.TEST.KEY_FRAME_INTERVAL
     n = interval - 1
     G = 2

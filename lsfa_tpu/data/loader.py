@@ -89,13 +89,16 @@ def load_pair_sample(rec, cfg, rng: np.random.Generator, bucket_hw=None):
             eq_flag = 1.0
             ref = old = data
             mv_t = np.zeros_like(mv_t)
-            res_t = np.zeros_like(res_t)
+            res_t = zero_residual_grid(
+                res_t.shape, info, means, scale,
+                cfg.network.RCNN_FEAT_STRIDE,
+                legacy_swap=bool(getattr(cfg.network,
+                                         "res_diff_legacy_swap", False)))
         elif cur_id - pos == 0:                # first GOP: old ref == ref
             eq_flag_old = 1.0
         im_scale = float(info[2])
+        # roidb boxes are already stored flipped (append_flipped)
         boxes = rec["boxes"] * im_scale
-        if rec.get("flipped"):
-            pass   # roidb boxes are already stored flipped (append_flipped)
         gt = np.concatenate(
             [boxes, rec["gt_classes"][:, None].astype(np.float32)], axis=1)
         return {
@@ -171,6 +174,26 @@ def load_pair_sample(rec, cfg, rng: np.random.Generator, bucket_hw=None):
         "motion_vector": mv_t, "res_diff": res_t,
         "im_info": im_info, "gt_boxes": gt,
     }
+
+
+def zero_residual_grid(shape, info, pixel_means, pixel_scale,
+                       stride: int = 16, legacy_swap: bool = False):
+    """The residual grid a ZERO raw residual produces: the channel
+    transform runs after padding, so valid cells carry (0 - mean)*scale
+    constants, not zeros (transform_mv_res semantics — what the reference
+    feeds at I-frames / degenerate pairs). Bucket-pad cells stay zero."""
+    fh, fw, _ = shape
+    sh, sw = float(info[0]), float(info[1])
+    gh = int(np.ceil(sh / stride))
+    gw = int(np.ceil(sw / stride))
+    mB, mG, mR = [float(m) for m in pixel_means]
+    o0 = (0.0 - mR) * pixel_scale
+    o1 = (0.0 - mG) * pixel_scale
+    o2 = ((o0 - mB) * pixel_scale if legacy_swap
+          else (0.0 - mB) * pixel_scale)
+    out = np.zeros((fh, fw, 3), np.float32)
+    out[:gh, :gw] = (o0, o1, o2)
+    return out
 
 
 def collate_train_batch(samples, bucket_hw, max_gt: int = 100):
@@ -281,18 +304,26 @@ class TrainLoader:
                     bi, idxs = idx_q.get_nowait()
                 except queue.Empty:
                     return
-                samples = [load_pair_sample(self.roidb[j], self.cfg, wrng,
-                                            bucket_hw=self.buckets[bi])
-                           for j in idxs]
-                q.put(collate_train_batch(samples, self.buckets[bi],
-                                          self.max_gt))
+                try:
+                    samples = [load_pair_sample(self.roidb[j], self.cfg,
+                                                wrng,
+                                                bucket_hw=self.buckets[bi])
+                               for j in idxs]
+                    q.put(collate_train_batch(samples, self.buckets[bi],
+                                              self.max_gt))
+                except BaseException as e:    # surface in the main thread
+                    q.put(e)                  # (a dead worker would hang
+                    return                    # the epoch on q.get())
 
         threads = [threading.Thread(target=worker, args=(w,), daemon=True)
                    for w in range(self.num_workers)]
         for t in threads:
             t.start()
         for _ in range(nb):
-            yield q.get()
+            item = q.get()
+            if isinstance(item, BaseException):
+                raise item
+            yield item
 
 
 class PreparedVideo:
@@ -346,8 +377,10 @@ class PreparedVideo:
 
 
 def prepared_available() -> bool:
-    lib_ok = coviar.available()
-    return lib_ok and hasattr(coviar._lib(), "coviar_decode_gop_prepared")
+    lib = coviar._lib() if coviar.available() else None
+    return (lib is not None
+            and hasattr(lib, "coviar_decode_gop_prepared_mode")
+            and hasattr(lib, "coviar_decode_train_sample"))
 
 
 class EvalLoader:

@@ -64,7 +64,9 @@ class MultiStreamEvalLoader:
         video = rec.get("video_path")
         if video is None or not prepared_available():
             return None
-        pv = self._prepared.get(video)
+        pv = self._prepared.pop(video, None)
+        if pv is not None:
+            self._prepared[video] = pv     # LRU: re-insert as newest
         if pv is None:
             # bounded cache: each PreparedVideo holds a ~30 MB GOP cache;
             # keep at most one per lane plus slack

@@ -243,6 +243,25 @@ inline void bilinear_at(const float* f, int h, int w, int c,
 // grid), stage B resizes the padded field by 1/stride. Every stage-B tap
 // needs at most 4 stage-A values, each computed on the fly from the source
 // field — no intermediate is materialized.
+// Residual grid for a ZERO raw residual: the channel transform runs after
+// padding, so valid cells carry (0-mean)*scale constants (what the
+// reference chain yields at I-frames), bucket padding stays zero.
+void fill_const_res_grid(float* dst, int gh, int gw, int fh, int fw,
+                         const float* means_bgr, float pixel_scale,
+                         int legacy_swap) {
+    std::memset(dst, 0, sizeof(float) * (size_t)fh * fw * 3);
+    const float mB = means_bgr[0], mG = means_bgr[1], mR = means_bgr[2];
+    const float o0 = (0.0f - mR) * pixel_scale;
+    const float o1 = (0.0f - mG) * pixel_scale;
+    const float o2 = legacy_swap ? (o0 - mB) * pixel_scale
+                                 : (0.0f - mB) * pixel_scale;
+    for (int fy = 0; fy < gh; fy++)
+        for (int fx = 0; fx < gw; fx++) {
+            float* o = dst + ((size_t)fy * fw + fx) * 3;
+            o[0] = o0; o[1] = o1; o[2] = o2;
+        }
+}
+
 // out is an (fh, fw, c) BUCKET grid; only the (gh, gw) cells covering the
 // scaled image carry values (gh = ceil(sh/stride) etc.), the rest is the
 // bucket zero-padding (pad_to_bucket in the Python pipeline).
@@ -573,7 +592,8 @@ COVIAR_API int coviar_decode_gop_prepared_mode(
         if (res_out) {
             float* dst = res_out + (size_t)rel * fh * fw * 3;
             if (rel == 0) {
-                std::memset(dst, 0, sizeof(float) * fh * fw * 3);
+                fill_const_res_grid(dst, gh, gw, fh, fw, pixel_means_bgr,
+                                    pixel_scale, legacy_swap);
             } else {
                 compute_residual(cur, key, acc, res_full.data(), w, hgt);
                 for (size_t i = 0; i < npx * 3; i++)
@@ -723,7 +743,9 @@ COVIAR_API int coviar_decode_train_sample(
             }
             if (res_out) {
                 if (pos == 0) {
-                    std::memset(res_out, 0, sizeof(float) * fh * fw * 3);
+                    fill_const_res_grid(res_out, gh, gw, fh, fw,
+                                        pixel_means_bgr, pixel_scale,
+                                        legacy_swap);
                 } else {
                     compute_residual(cur, key, acc, res_full.data(), w, hgt);
                     for (int y = 0; y < hgt; y++)

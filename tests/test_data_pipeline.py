@@ -205,3 +205,21 @@ def test_pair_sample_eq_flag_semantics(mini_dataset):
     assert np.abs(s["motion_vector"]).sum() > 0 or np.abs(s["res_diff"]).sum() > 0
     # boxes scaled by im_scale
     assert s["gt_boxes"][0, 2] < 60
+
+
+def test_train_loader_worker_error_propagates():
+    """A loader-worker exception must surface in the main thread instead
+    of hanging the epoch (workers die silently otherwise)."""
+    if not coviar.available():
+        pytest.skip("native loader not built")
+    cfg = get_default_config()
+    cfg.SCALES = [(60, 104)]
+    cfg.tpu.image_buckets = [(64, 112)]
+    roidb = [{"image": "x.JPEG", "height": 96, "width": 128,
+              "pattern": "x/%06d.JPEG", "frame_seg_id": 3,
+              "frame_seg_len": 10, "video_path": "/nonexistent/v.mp4",
+              "boxes": np.zeros((1, 4), np.float32),
+              "gt_classes": np.asarray([1], np.int32), "flipped": False}]
+    loader = TrainLoader(roidb, cfg, batch_size=1, num_workers=1)
+    with pytest.raises(FileNotFoundError, match="compressed stream"):
+        next(iter(loader))

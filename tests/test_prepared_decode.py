@@ -99,8 +99,15 @@ def test_prepared_mv_res_parity(clip, legacy):
         np.testing.assert_allclose(info, [sh, sw, s], rtol=1e-5)
         np.testing.assert_allclose(mv[rel], want_mv, atol=2e-3)
         np.testing.assert_allclose(res[rel], want_res, atol=2e-2)
-    # key frame: zero grids
-    assert np.abs(mv[0]).sum() == 0 and np.abs(res[0]).sum() == 0
+    # key frame: zero MV; residual = the transformed-zeros CONSTANT grid
+    # (the channel transform runs after padding — reference semantics)
+    assert np.abs(mv[0]).sum() == 0
+    gh, gw = (int(info[0]) + 15) // 16, (int(info[1]) + 15) // 16
+    np.testing.assert_allclose(res[0][:gh, :gw, 0], -MEANS[2], atol=1e-4)
+    np.testing.assert_allclose(res[0][:gh, :gw, 1], -MEANS[1], atol=1e-4)
+    want2 = (-MEANS[2] - MEANS[0]) if legacy else -MEANS[0]
+    np.testing.assert_allclose(res[0][:gh, :gw, 2], want2, atol=1e-4)
+    assert np.abs(res[0][gh:]).sum() == 0
 
 
 def test_prepared_frames_and_smalls(clip):

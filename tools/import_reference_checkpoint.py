@@ -3,7 +3,7 @@
 Usage:
   python tools/import_reference_checkpoint.py --cfg configs/lsfa_resnet101_vid.yaml \
       --params /path/to/lsfa-0002.params [--flownet /path/to/flownet-0000.params] \
-      --out /path/to/ckpt_dir [--strict backbone,flownet] [--legacy-res-swap]
+      --out /path/to/ckpt_dir [--strict backbone,flownet]
 
 Reads the reference's flat arg:/aux: NDArray dict(s)
 (lib/utils/save_model.py:11-25), maps every tensor onto the flax tree
