@@ -108,12 +108,14 @@ def import_torch_resnet(params, batch_stats, state_dict: dict[str, Any],
                         prefix: str = "backbone"):
     """Map a torchvision ResNet state_dict onto the backbone param tree.
 
-    Note: torchvision ResNets are post-activation (v1); our trunk is
+    SECONDARY warm start only — for EXACT parity with the reference's
+    pretrained weights use `train.import_mxnet.import_mxnet_lsfa` (reads
+    the MXNet .params format directly, including BN running stats).
+    torchvision ResNets are post-activation (v1); our trunk is
     pre-activation (v2), so BN/conv pairings differ — this imports the
     conv kernels (the bulk of the capacity) positionally per unit and the
-    stem exactly, leaving BN affine at init. Intended as a warm start, not
-    exact parity (exact parity requires a v2-format checkpoint, which
-    `save_checkpoint` round-trips losslessly).
+    stem exactly, leaving BN affine at init; callers should check the
+    returned import count.
     """
     p = params[prefix]
     bs = batch_stats.get(prefix, {})
