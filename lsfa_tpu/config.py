@@ -171,6 +171,7 @@ def get_default_config() -> AttrDict:
     # frame under the 600-short/1000-long rule after stride-16 padding,
     # (1024, 608) the portrait ones; eval picks per-video via pick_bucket
     p.image_buckets = [(608, 1024), (1024, 608), (608, 960)]
+    p.eval_gop_window = 2     # GOPs per eval dispatch (scan window)
     p.default_bucket = (608, 1024)
     p.mesh_axes = AttrDict({"data": -1})  # -1 = all devices
     p.max_gt_boxes = 100

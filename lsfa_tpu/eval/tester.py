@@ -256,6 +256,23 @@ class StreamingDetector:
         self.frame_id += g * (1 + smalls.shape[1])
         return outs
 
+    def process_prepared_window(self, payloads, first: bool = False):
+        """Run a window of prepared GOP payloads (the C data plane's
+        (frames, smalls, mv, res, info) tuples) through the scan program.
+
+        Only the key frame of each GOP ships full-res; MV/residual are cast
+        to f16 (ample precision; f32-input program variants fault the axon
+        runtime — see DESIGN.md). Returns (key_dets (G,1,M,6), key_valids,
+        cur_dets (G,n,M,6), cur_valids). The caller must keep window length
+        constant across calls to stay on one compiled program."""
+        key_frames = np.stack([p[0][0:1] for p in payloads])
+        smalls = np.stack([p[1][1:] for p in payloads])
+        mvs = np.stack([p[2][1:] for p in payloads]).astype(np.float16)
+        ress = np.stack([p[3][1:] for p in payloads]).astype(np.float16)
+        info = payloads[0][4][None]
+        return self.process_gops(key_frames, smalls, mvs, ress, info,
+                                 first=first)
+
     def process_frame(self, data, im_info, motion_vector=None, res_diff=None,
                       flag: int | None = None, small=None, is_first=None):
         """Run one frame (possibly B parallel stream lanes).

@@ -503,6 +503,10 @@ COVIAR_API int coviar_decode_gop_prepared_mode(
     if (sh > bh || sw > bw) { set_err(h, "bucket too small"); return -3; }
     const int fh = bh / stride, fw = bw / stride;
     const int gh = (sh + stride - 1) / stride, gw = (sw + stride - 1) / stride;
+    if (small_factor <= 0 || bh % small_factor || bw % small_factor) {
+        set_err(h, "bucket not divisible by small_factor");
+        return -6;   // the small-grid buffer layout assumes divisibility
+    }
     const int sbh = bh / small_factor, sbw = bw / small_factor;
     if (im_info) { im_info[0] = (float)sh; im_info[1] = (float)sw;
                    im_info[2] = (float)s; }

@@ -300,3 +300,32 @@ def test_unbake_rfcn_bbox_test_only(tiny_lsfa):
         np.asarray(restored["params"]["rfcn_bbox"]["bias"]),
         np.asarray(variables["params"]["rfcn_bbox"]["bias"]),
         rtol=1e-5, atol=1e-6)
+
+
+def test_rfcn_export_import_roundtrip(tmp_path):
+    """The importer must also cover the single-frame RFCN tree (backbone +
+    feat_conv_3x3 + heads, the reference rfcn/ package checkpoints)."""
+    from lsfa_tpu.models.rfcn import RFCN
+
+    m = RFCN(num_classes=5, feat_dim=64, num_layer=18, add_dcn=False)
+    v = m.init(jax.random.PRNGKey(3), jnp.zeros((1, 64, 96, 3)), False)
+    variables = {"params": v["params"], "batch_stats": v["batch_stats"]}
+    flat = export_mxnet_lsfa(variables)
+    names = {k.split(":", 1)[1] for k in flat}
+    assert {"conv0_weight", "feat_conv_3x3_weight", "rpn_cls_score_weight",
+            "rfcn_bbox_bias", "bn1_gamma"} <= names
+
+    rng = np.random.default_rng(11)
+    scrambled = jax.tree.map(
+        lambda x: jnp.asarray(rng.standard_normal(x.shape), x.dtype),
+        variables)
+    restored, report = import_mxnet_lsfa(scrambled, flat,
+                                         strict_modules=("backbone",))
+    assert not report["unused"]
+    ok = jax.tree.map(
+        lambda a, b: np.allclose(np.asarray(a, np.float32),
+                                 np.asarray(b, np.float32), atol=1e-6),
+        variables, restored)
+    bad = [p for p, val in jax.tree_util.tree_flatten_with_path(ok)[0]
+           if not val]
+    assert not bad, bad[:10]
