@@ -83,7 +83,8 @@ def detect_single(rpn_fg, rpn_deltas, cls_map, bbox_map, anchors, im_info,
                   rpn_nms_thresh: float = 0.7, min_size: int = 0,
                   feat_stride: int = 16, max_per_image: int = 300,
                   nms_thresh: float = 0.3, score_thresh: float = 1e-3,
-                  bbox_stds=(0.1, 0.1, 0.2, 0.2), nms_tier: int = 0):
+                  bbox_stds=(0.1, 0.1, 0.2, 0.2), nms_tier: int = 0,
+                  group_size: int = 7):
     """Single-image (unbatched maps) detection pipeline. vmap-friendly."""
     rois, _, roi_valid = rpn_proposals(
         rpn_fg, rpn_deltas, anchors, im_info,
@@ -91,8 +92,10 @@ def detect_single(rpn_fg, rpn_deltas, cls_map, bbox_map, anchors, im_info,
         nms_thresh=rpn_nms_thresh, min_size=min_size, feat_stride=feat_stride,
         nms_tier=nms_tier)
     pooled_cls = psroi_pool(cls_map, rois, output_dim=num_classes,
+                            group_size=group_size, pooled_size=group_size,
                             spatial_scale=1.0 / feat_stride)
     pooled_bbox = psroi_pool(bbox_map, rois, output_dim=8,
+                             group_size=group_size, pooled_size=group_size,
                              spatial_scale=1.0 / feat_stride)
     cls_scores = jnp.mean(pooled_cls, axis=(1, 2))
     bbox_deltas = jnp.mean(pooled_bbox, axis=(1, 2))

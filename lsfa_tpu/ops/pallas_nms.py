@@ -80,7 +80,7 @@ def _kernel(boxes_ref, valid_ref, alive_ref, sup_ref, *, iou_thresh,
                                              "interpret"))
 def greedy_alive_pallas(boxes, valid, iou_thresh: float, num_sweeps: int,
                         interpret: bool = False):
-    """Fused greedy-NMS alive mask. boxes (N, 4) rank-sorted, N % 256 == 0,
+    """Fused greedy-NMS alive mask. boxes (N, 4) rank-sorted, N % 128 == 0,
     N <= 2048 (sup matrix must fit VMEM). Returns (N,) bool."""
     n = boxes.shape[0]
     assert n % ROW_BLOCK == 0 and n <= 2048, n

@@ -33,12 +33,19 @@ import jax
 import jax.numpy as jnp
 
 
+def _round_half_away(x):
+    """C round(): halves away from zero. jnp.round is half-to-EVEN, which
+    shifts the roi grid by one feature cell whenever a scaled gt coordinate
+    lands on .5 (cuda round at psroi_pooling.cu:54-57)."""
+    return jnp.sign(x) * jnp.floor(jnp.abs(x) + 0.5)
+
+
 def _bin_bounds(rois, h, w, p, spatial_scale):
     """Integer bin bounds per (roi, cell) — cuda :54-79 semantics."""
-    xs = jnp.round(rois[:, 1]) * spatial_scale
-    ys = jnp.round(rois[:, 2]) * spatial_scale
-    xe = (jnp.round(rois[:, 3]) + 1.0) * spatial_scale
-    ye = (jnp.round(rois[:, 4]) + 1.0) * spatial_scale
+    xs = _round_half_away(rois[:, 1]) * spatial_scale
+    ys = _round_half_away(rois[:, 2]) * spatial_scale
+    xe = (_round_half_away(rois[:, 3]) + 1.0) * spatial_scale
+    ye = (_round_half_away(rois[:, 4]) + 1.0) * spatial_scale
     bin_w = jnp.maximum(xe - xs, 0.1) / p
     bin_h = jnp.maximum(ye - ys, 0.1) / p
     ph = jnp.arange(p, dtype=jnp.float32)
@@ -120,22 +127,9 @@ def psroi_pool_sat(feat, rois, output_dim: int, group_size: int = 7,
     sat = sat.reshape((h + 1) * (w + 1), output_dim, g * g)
     sat = jnp.moveaxis(sat, -1, 0).reshape(g * g * (h + 1) * (w + 1), output_dim)
 
-    # roi geometry (float, rounded to integer pixels first — cuda :54-57)
-    xs = jnp.round(rois[:, 1]) * spatial_scale
-    ys = jnp.round(rois[:, 2]) * spatial_scale
-    xe = (jnp.round(rois[:, 3]) + 1.0) * spatial_scale
-    ye = (jnp.round(rois[:, 4]) + 1.0) * spatial_scale
-    roi_w = jnp.maximum(xe - xs, 0.1)
-    roi_h = jnp.maximum(ye - ys, 0.1)
-    bin_w = roi_w / p
-    bin_h = roi_h / p
-
-    ph = jnp.arange(p, dtype=jnp.float32)
-    # bin bounds per (roi, cell): floor/ceil then clip to [0, H] / [0, W]
-    hs = jnp.clip(jnp.floor(ph[None, :] * bin_h[:, None] + ys[:, None]), 0, h).astype(jnp.int32)
-    he = jnp.clip(jnp.ceil((ph[None, :] + 1.0) * bin_h[:, None] + ys[:, None]), 0, h).astype(jnp.int32)
-    ws_ = jnp.clip(jnp.floor(ph[None, :] * bin_w[:, None] + xs[:, None]), 0, w).astype(jnp.int32)
-    we = jnp.clip(jnp.ceil((ph[None, :] + 1.0) * bin_w[:, None] + xs[:, None]), 0, w).astype(jnp.int32)
+    # roi geometry + bin bounds: one shared implementation with the matmul
+    # path (a divergent copy here would defeat the cross-check)
+    hs, he, ws_, we = _bin_bounds(rois, h, w, p, spatial_scale)
 
     # group cell of each pooled cell (gh == ph, gw == pw when G == P)
     gh = jnp.clip((jnp.arange(p) * g) // p, 0, g - 1)

@@ -80,6 +80,8 @@ def assign_anchors(anchors, gt_boxes, gt_valid, im_info, key,
     num_fg_quota = int(fg_fraction * rpn_batch)
 
     def subsample(lbl, is_cls, quota, rk):
+        if quota <= 0:       # static: sort(r)[quota-1] would wrap to -1
+            return jnp.where(is_cls, -1.0, lbl)
         n_cls = jnp.sum(is_cls)
         r = jax.random.uniform(rk, (k,))
         r = jnp.where(is_cls, r, 2.0)                     # non-members sort last

@@ -32,14 +32,15 @@ def ohem_select(cls_logits, bbox_deltas, labels, bbox_targets, bbox_weights,
     box_loss = jnp.sum(bbox_weights * smooth_l1(bbox_deltas - bbox_targets, 1.0),
                        axis=1)
     per_roi = cls_loss + box_loss
-    per_roi = jnp.where(valid & (labels >= 0), per_roi, -jnp.inf)
+    elig = valid & (labels >= 0)
+    per_roi = jnp.where(elig, per_roi, -jnp.inf)
 
-    kth = jax.lax.top_k(per_roi, min(roi_per_img, n))[0][-1]
-    keep = per_roi >= kth
-    # cap at exactly roi_per_img on ties: rank by (loss, index)
+    # rank by (loss desc, index) — selects exactly the top roi_per_img
+    # ELIGIBLE rois (a kth-threshold formulation would keep -inf padding
+    # rois whenever fewer than roi_per_img eligible rois exist)
     order = jnp.argsort(-per_roi, stable=True)
     rank = jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
-    keep = keep & (rank < roi_per_img)
+    keep = elig & (rank < roi_per_img)
 
     labels_ohem = jnp.where(keep, labels, -1.0)
     bbox_weights_ohem = jnp.where(keep[:, None], bbox_weights, 0.0)

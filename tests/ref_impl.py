@@ -5,6 +5,8 @@ numerics, see SURVEY.md section 4) as slow, obviously-correct loops; the
 jittable ops in lsfa_tpu must match them exactly (or to float tolerance).
 """
 
+import math
+
 import numpy as np
 
 
@@ -80,11 +82,15 @@ def ref_psroi_pool(feat_chw, rois, output_dim, group_size, pooled_size, spatial_
     n = len(rois)
     g, p = group_size, pooled_size
     out = np.zeros((n, output_dim, p, p), dtype=np.float64)
+    def c_round(x):
+        # C round(): halves away from zero (python/np round are half-even)
+        return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
     for i in range(n):
-        xs = round(rois[i, 1]) * spatial_scale
-        ys = round(rois[i, 2]) * spatial_scale
-        xe = (round(rois[i, 3]) + 1.0) * spatial_scale
-        ye = (round(rois[i, 4]) + 1.0) * spatial_scale
+        xs = c_round(rois[i, 1]) * spatial_scale
+        ys = c_round(rois[i, 2]) * spatial_scale
+        xe = (c_round(rois[i, 3]) + 1.0) * spatial_scale
+        ye = (c_round(rois[i, 4]) + 1.0) * spatial_scale
         rw = max(xe - xs, 0.1)
         rh = max(ye - ys, 0.1)
         bh, bw = rh / p, rw / p

@@ -91,3 +91,19 @@ def test_assign_anchor_fg_subsample_quota():
     lbl = np.asarray(out["label"])
     assert (lbl == 1).sum() <= 128
     assert (lbl >= 0).sum() <= 256
+
+
+def test_fg_quota_zero_disables_all_fg():
+    """fg_fraction=0: sort(r)[quota-1] must not wrap to the max (which
+    would keep EVERY fg anchor instead of none)."""
+    import jax
+    from lsfa_tpu.train.anchor_assign import assign_anchors
+    from lsfa_tpu.ops.anchors import anchor_grid
+
+    anchors = jnp.asarray(anchor_grid(4, 6, 16))
+    gt = jnp.asarray(np.array([[8.0, 8, 60, 60, 1]], np.float32))
+    gv = jnp.asarray(np.array([True]))
+    im_info = jnp.asarray(np.array([64.0, 96.0, 1.0], np.float32))
+    out = assign_anchors(anchors, gt, gv, im_info, jax.random.PRNGKey(0),
+                         rpn_batch=32, fg_fraction=0.0)
+    assert int(np.sum(np.asarray(out["label"]) == 1.0)) == 0

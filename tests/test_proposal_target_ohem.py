@@ -110,3 +110,25 @@ def test_sample_rois_fixed_semantics():
     # bg slots really come from the [lo, hi) IoU band (or are gap fills
     # labeled 0) — check none of them is a high-IoU roi still labeled fg
     assert not ((lab == 0) & (np.asarray(out["bbox_weight"])[:, 4] > 0)).any()
+
+
+def test_ohem_underfull_ignores_padding():
+    """Fewer eligible rois than roi_per_img: padding/invalid rois must
+    stay label -1 / zero weight (a kth=-inf threshold would admit them)."""
+    import jax
+    n, c = 12, 5
+    rng = np.random.default_rng(3)
+    logits = jnp.asarray(rng.normal(0, 1, (n, c)).astype(np.float32))
+    deltas = jnp.zeros((n, 8))
+    labels = jnp.asarray(
+        np.array([1, 2, 0] + [3] * 9, np.float32))
+    targets = jnp.zeros((n, 8))
+    weights = jnp.ones((n, 8))
+    valid = jnp.asarray(np.array([True] * 3 + [False] * 9))
+    lab, w = ohem_select(logits, deltas, labels, targets, weights, valid,
+                         roi_per_img=8)
+    lab = np.asarray(lab)
+    w = np.asarray(w)
+    assert (lab[3:] == -1).all(), "invalid rois leaked into OHEM keep-set"
+    assert (w[3:] == 0).all()
+    assert (lab[:3] >= 0).all()   # all eligible rois kept (< roi_per_img)

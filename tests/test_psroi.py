@@ -54,3 +54,18 @@ def test_psroi_pool_gradient_flows():
     grad = jax.grad(loss)(feat_hwc)
     assert np.isfinite(np.asarray(grad)).all()
     assert np.abs(np.asarray(grad)).sum() > 0
+
+
+@pytest.mark.parametrize("impl", [psroi_pool, psroi_pool_sat])
+def test_psroi_half_coordinate_rounding(impl):
+    """Coordinates landing exactly on .5 must round like C round() (half
+    AWAY from zero, cuda :54-57) — np/jnp half-to-even would shift the roi
+    by one pixel (e.g. round(2.5): CUDA 3, numpy 2)."""
+    feat_chw, _ = make_case(2)
+    feat_hwc = np.moveaxis(feat_chw, 0, -1)
+    rois = np.array([[0, 2.5, 4.5, 120.5, 90.5],
+                     [0, 16.5, 32.5, 150.5, 140.5]], dtype=np.float32)
+    got = impl(jnp.asarray(feat_hwc), jnp.asarray(rois), output_dim=5)
+    got = np.moveaxis(np.asarray(got), -1, 1)
+    want = ref_psroi_pool(feat_chw, rois, 5, 7, 7, 1.0 / 16)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
