@@ -103,3 +103,42 @@ def test_rfcn_train_net_smoke(tiny_env, tmp_path):
                                     ckpt_dir=str(tmp_path / "ck"),
                                     logger=logger, max_steps=2)
     assert "rfcn_cls" in params and "flownet" not in params
+
+
+def test_init_model_loads_mxnet_pretrained(tmp_path):
+    """init_model must pick up cfg.network.pretrained .params files (the
+    reference's load_param + combine init, train_end2end.py:107-115) and
+    land the tensors on the flax tree exactly."""
+    import numpy as np
+    import jax
+
+    from lsfa_tpu.train.driver import init_model
+    from lsfa_tpu.train.import_mxnet import export_mxnet_lsfa
+
+    cfg = load_config("configs/lsfa_tiny_smoke.yaml")
+    # build a donor variable tree with the same architecture, seeded
+    # differently, export it as the "pretrained" checkpoint
+    cfg.network.pretrained = ""
+    model, params0, bs0 = init_model(cfg, rng_seed=123)
+    donor = {"params": params0, "batch_stats": bs0}
+    path = tmp_path / "resnet-tiny-0000.params"
+    export_mxnet_lsfa(donor, str(path))
+
+    cfg2 = load_config("configs/lsfa_tiny_smoke.yaml")
+    cfg2.network.pretrained = str(path)     # full filename form
+    _, params1, bs1 = init_model(cfg2, rng_seed=0)
+
+    # backbone + flownet tensors must equal the donor's (not the seed-0 init)
+    np.testing.assert_allclose(
+        np.asarray(params1["backbone"]["conv0"]["kernel"]),
+        np.asarray(params0["backbone"]["conv0"]["kernel"]), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(params1["flownet"]["conv3_1"]["kernel"]),
+        np.asarray(params0["flownet"]["conv3_1"]["kernel"]), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(bs1["backbone"]["bn0"]["BatchNorm_0"]["mean"]),
+        np.asarray(bs0["backbone"]["bn0"]["BatchNorm_0"]["mean"]), atol=1e-6)
+    # small net was re-seeded FROM the imported backbone (init_weight)
+    np.testing.assert_allclose(
+        np.asarray(params1["small_net_backbone"]["conv0"]["kernel"]),
+        np.asarray(params0["backbone"]["conv0"]["kernel"]), atol=1e-6)
