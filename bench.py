@@ -12,6 +12,12 @@ compressed stream in, detections out.
 
 Reports the MEDIAN of N trials (all trials logged to stderr).
 `--device-only` measures the device loop alone on pre-staged inputs.
+`--clip PATH` benchmarks an arbitrary MPEG-4 clip instead of the
+synthetic one (decode cost is content-dependent). `--overlap` disables
+the per-window sync (cfg.tpu.sync_per_window=False): windows double-
+buffer through the device — use on runtimes where overlapped transfers
+are safe. `--f32` ships float32 MV/residual payloads
+(cfg.tpu.mv_res_dtype) for parity/bisection runs.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -41,6 +47,10 @@ def _build_detector(batch: int = 1):
     from lsfa_tpu.models.lsfa import lsfa_from_config
 
     cfg = get_default_config()
+    if "--overlap" in sys.argv:
+        cfg.tpu.sync_per_window = False
+    if "--f32" in sys.argv:
+        cfg.tpu.mv_res_dtype = "float32"
     model = lsfa_from_config(cfg)
     h, w = cfg.tpu.default_bucket
     fh, fw = h // 16, w // 16
@@ -54,22 +64,27 @@ def _build_detector(batch: int = 1):
     return cfg, det
 
 
-def run_real() -> dict:
+def run_real(clip: str | None = None) -> dict:
     """Decode-included pipeline: C++ prepared decode (producer thread)
     overlapped with the device GOP loop (consumer)."""
     import jax
 
     from lsfa_tpu.data import coviar
-    from lsfa_tpu.data.loader import PreparedVideo
+    from lsfa_tpu.data.loader import PreparedVideo, payload_dtype
 
     import os
-    if not os.path.exists(CLIP):
-        coviar.encode_test_video(CLIP, n_frames=N_GOPS * 12, w=CLIP_W,
-                                 h=CLIP_H, gop_size=12, seed=3)
+    if clip is None:
+        clip = CLIP
+        if not os.path.exists(clip):
+            coviar.encode_test_video(clip, n_frames=N_GOPS * 12, w=CLIP_W,
+                                     h=CLIP_H, gop_size=12, seed=3)
     cfg, det = _build_detector()
     bucket = tuple(cfg.tpu.default_bucket)
+    dt = payload_dtype(cfg)
+    sync = bool(cfg.tpu.sync_per_window)
 
-    pv = PreparedVideo(CLIP, cfg, bucket)
+    pv = PreparedVideo(clip, cfg, bucket)
+    n_gops = min(N_GOPS, pv.num_frames // 12) if clip != CLIP else N_GOPS
     # Device program: process_gops (lax.scan over GOPs) — the SAME program
     # the device-only mode uses. The standalone single-GOP program
     # (_gop_step) reproducibly faults the axon runtime (UNAVAILABLE at its
@@ -83,25 +98,27 @@ def run_real() -> dict:
         key_frames = np.stack([w_[0][0:1] for w_ in win])  # (G, 1, H, W, 3)
         n_frames_win = sum(w_[0].shape[0] for w_ in win[:real])
         smalls = np.stack([w_[1][1:] for w_ in win])
-        # f16 MV/residual: ample precision, half the tunnel traffic — and
-        # the f32-input program variants reproducibly fault the axon
-        # backend (bisected: G=4 f16 runs, G=4/G=2/G=1 f32 all fault)
-        mvs = np.stack([w_[2][1:] for w_ in win]).astype(np.float16)
-        ress = np.stack([w_[3][1:] for w_ in win]).astype(np.float16)
+        # payload dtype config-gated: f16 default (half the tunnel
+        # traffic; the f32-input program variants reproducibly faulted
+        # the axon backend — bisected round 2, re-check with --f32)
+        mvs = np.stack([w_[2][1:] for w_ in win]).astype(dt)
+        ress = np.stack([w_[3][1:] for w_ in win]).astype(dt)
         info = win[0][4][None]
         out = det.process_gops(key_frames, smalls, mvs, ress, info,
                                first=first)
-        # sync per window: overlapping the next window's host->device
-        # transfer with in-flight compute faults the axon tunnel runtime
-        # (round-1 finding, reproduced). Decode still overlaps: the
-        # producer thread works through this wait.
-        jax.block_until_ready(out[2])
-        return n_frames_win
+        if sync:
+            # sync per window: overlapping the next window's host->device
+            # transfer with in-flight compute faults the axon tunnel
+            # runtime (round-1 finding, reproduced). Decode still
+            # overlaps: the producer thread works through this wait.
+            jax.block_until_ready(out[2])
+        return n_frames_win, out
 
     # warmup: one-time FFmpeg/export-mvs init + jit compile
     warm = [pv.gop(0)] * G
     det.reset()
-    dispatch(warm, True, G)
+    _, wout = dispatch(warm, True, G)
+    jax.block_until_ready(wout[2])
 
     fps_trials = []
     host_ms = dev_ms = 0.0
@@ -112,7 +129,7 @@ def run_real() -> dict:
         decode_s = [0.0]
 
         def producer():
-            for g in range(N_GOPS):
+            for g in range(n_gops):
                 t0 = time.perf_counter()
                 payload = pv.gop(g)
                 pv._gop = -1
@@ -128,6 +145,7 @@ def run_real() -> dict:
         first = True
         window = []
         done = False
+        prev_out = None       # overlap mode: double-buffered windows
         while not done:
             item = q.get()
             if item is None:
@@ -139,12 +157,21 @@ def run_real() -> dict:
                 while len(window) < G:     # pad the tail window
                     window.append(window[-1])
                 d0 = time.perf_counter()
-                n_frames += dispatch(window, first, real)
+                nf, out = dispatch(window, first, real)
+                n_frames += nf
+                if not sync:
+                    # bound in-flight work to 2 windows: block on the
+                    # PREVIOUS window while this one computes/transfers
+                    if prev_out is not None:
+                        jax.block_until_ready(prev_out[2])
+                    prev_out = out
                 dev_wait += time.perf_counter() - d0
                 first = False
                 window = []
-        dt = time.perf_counter() - t0
-        fps = n_frames / dt
+        if prev_out is not None:
+            jax.block_until_ready(prev_out[2])
+        wall = time.perf_counter() - t0
+        fps = n_frames / wall
         fps_trials.append(fps)
         host_ms = decode_s[0] / n_frames * 1000
         dev_ms = dev_wait / n_frames * 1000
@@ -154,12 +181,15 @@ def run_real() -> dict:
     fps = float(np.median(fps_trials))
     print(f"all trials: {[round(f, 1) for f in fps_trials]}",
           file=sys.stderr, flush=True)
+    mode = "overlapped windows" if not sync else "sync per window"
+    src = "synthetic clip" if clip == CLIP else os.path.basename(clip)
     return {
         "metric": "lsfa_e2e_inference_fps",
         "value": round(fps, 2),
         "unit": ("frames/sec end-to-end incl. MPEG-4 decode+preprocess "
-                 "(608x1024, ResNet-101+DCN LSFA, key interval 12, "
-                 f"median of {TRIALS})"),
+                 f"(608x1024, ResNet-101+DCN LSFA, key interval 12, {src}, "
+                 f"{mode}, median of {TRIALS}; retried in a fresh process "
+                 "on tunnel fault)"),
         "vs_baseline": round(fps / 30.0, 3),
     }
 
@@ -168,7 +198,10 @@ def run_device_only() -> dict:
     """Device loop alone on pre-staged host arrays (the round-1 metric)."""
     import jax
 
+    from lsfa_tpu.data.loader import payload_dtype
+
     cfg, det = _build_detector()
+    dt = payload_dtype(cfg)
     h, w = cfg.tpu.default_bucket
     fh, fw = h // 16, w // 16
     interval = cfg.TEST.KEY_FRAME_INTERVAL
@@ -181,8 +214,8 @@ def run_device_only() -> dict:
     small = np.clip(np.round(frame.astype(np.float32).reshape(
         1, h // s, s, w // s, s, 3).mean((2, 4))), 0, 255).astype(np.uint8)
     im_info = np.asarray([[563.0, 1000.0, 0.781]], np.float32)
-    mv = rnd.normal(0, 1.5, size=(1, fh, fw, 2)).astype(np.float16)
-    res = rnd.normal(0, 8, size=(1, fh, fw, 3)).astype(np.float16)
+    mv = rnd.normal(0, 1.5, size=(1, fh, fw, 2)).astype(dt)
+    res = rnd.normal(0, 8, size=(1, fh, fw, 3)).astype(dt)
     smalls = np.repeat(small, n_cur, axis=0)
     mvs = np.repeat(mv, n_cur, axis=0)
     ress = np.repeat(res, n_cur, axis=0)
@@ -234,7 +267,10 @@ def run_multistream(lanes: int) -> dict:
     — the TPU-native form of the reference's multi-GPU video sharding."""
     import jax
 
+    from lsfa_tpu.data.loader import payload_dtype
+
     cfg, det = _build_detector(batch=lanes)
+    dt = payload_dtype(cfg)
     h, w = cfg.tpu.default_bucket
     fh, fw = h // 16, w // 16
     interval = cfg.TEST.KEY_FRAME_INTERVAL
@@ -243,8 +279,8 @@ def run_multistream(lanes: int) -> dict:
     rnd = np.random.default_rng(0)
     keys = rnd.integers(0, 255, (G, lanes, h, w, 3)).astype(np.uint8)
     smalls = rnd.integers(0, 255, (G, n, lanes, h // 4, w // 4, 3)).astype(np.uint8)
-    mvs = rnd.normal(0, 1, (G, n, lanes, fh, fw, 2)).astype(np.float16)
-    ress = rnd.normal(0, 8, (G, n, lanes, fh, fw, 3)).astype(np.float16)
+    mvs = rnd.normal(0, 1, (G, n, lanes, fh, fw, 2)).astype(dt)
+    ress = rnd.normal(0, 8, (G, n, lanes, fh, fw, 3)).astype(dt)
     im_info = np.tile(np.asarray([[600.0, 1000.0, 1.04]], np.float32),
                       (lanes, 1))
 
@@ -286,7 +322,10 @@ def main():
     elif "--device-only" in sys.argv:
         result = run_device_only()
     else:
-        result = run_real()
+        clip = None
+        if "--clip" in sys.argv:
+            clip = sys.argv[sys.argv.index("--clip") + 1]
+        result = run_real(clip)
     print(json.dumps(result))
 
 

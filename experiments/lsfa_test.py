@@ -13,11 +13,17 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def run_test(cfg, params=None, batch_stats=None, ckpt_dir=None,
-             ignore_cache=False, max_frames=None):
+             ignore_cache=False, max_frames=None, lanes: int = 1,
+             mesh_shape: int = 0):
+    """lanes > 1 batches that many video streams per dispatch (the
+    reference's multi-GPU eval sharding, function/test_rcnn.py:69-75,
+    as one lane-batched program); mesh_shape > 0 additionally shards the
+    lane axis over that many devices (lanes % mesh_shape == 0)."""
     import jax
 
     from lsfa_tpu.data.dataset import ImageNetVID
-    from lsfa_tpu.eval.driver import eval_videos, evaluate_map
+    from lsfa_tpu.eval.driver import (eval_videos, eval_videos_lanes,
+                                      evaluate_map)
     from lsfa_tpu.train.checkpoint import load_checkpoint
     from lsfa_tpu.train.driver import init_model
     from lsfa_tpu.utils import create_logger
@@ -49,8 +55,23 @@ def run_test(cfg, params=None, batch_stats=None, ckpt_dir=None,
             "video_path": ds.video_path(e),
         })
     cache = None if ignore_cache else os.path.join(out_dir, "detections.pkl")
-    dets = eval_videos(model, variables, cfg, video_roidb,
-                       det_cache=cache, logger=logger, max_frames=max_frames)
+    if lanes > 1:
+        mesh = None
+        if mesh_shape:
+            from jax.sharding import Mesh
+
+            devs = jax.devices()[:mesh_shape]
+            if lanes % len(devs):
+                raise ValueError(
+                    f"lanes={lanes} must divide by mesh size {len(devs)}")
+            mesh = Mesh(devs, ("data",))
+        dets = eval_videos_lanes(model, variables, cfg, video_roidb,
+                                 lanes=lanes, det_cache=cache,
+                                 logger=logger, mesh=mesh)
+    else:
+        dets = eval_videos(model, variables, cfg, video_roidb,
+                           det_cache=cache, logger=logger,
+                           max_frames=max_frames)
     return evaluate_map(dets, ds, video_roidb, logger=logger)
 
 
@@ -60,13 +81,18 @@ def main():
     ap.add_argument("--ckpt", default=None, help="checkpoint directory")
     ap.add_argument("--ignore-cache", action="store_true")
     ap.add_argument("--max-frames", type=int, default=None)
+    ap.add_argument("--lanes", type=int, default=1,
+                    help="video streams batched per dispatch (inference DP)")
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="shard the lane axis over this many devices")
     args = ap.parse_args()
 
     from lsfa_tpu.config import load_config
 
     cfg = load_config(args.cfg)
     run_test(cfg, ckpt_dir=args.ckpt, ignore_cache=args.ignore_cache,
-             max_frames=args.max_frames)
+             max_frames=args.max_frames, lanes=args.lanes,
+             mesh_shape=args.mesh)
 
 
 if __name__ == "__main__":

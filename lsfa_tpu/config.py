@@ -130,7 +130,9 @@ def get_default_config() -> AttrDict:
     t.FG_THRESH = 0.5
     t.BG_THRESH_HI = 0.5
     t.BG_THRESH_LO = 0.0
-    t.BBOX_REGRESSION_THRESH = 0.5
+    # (the reference also declares TRAIN.BBOX_REGRESSION_THRESH, but its
+    # only consumer is the legacy 2-stage path in lib/bbox/bbox_regression.py
+    # which no entry point reaches — deliberately not carried over)
     t.BBOX_WEIGHTS = (1.0, 1.0, 1.0, 1.0)
     t.RPN_BATCH_SIZE = 256
     t.RPN_FG_FRACTION = 0.5
@@ -178,6 +180,19 @@ def get_default_config() -> AttrDict:
     # RPN NMS runs on the top-k tier of pre-NMS boxes (exact when the tier
     # yields >= post_nms keeps — see ops/proposal.py). 0 = strict full set.
     p.nms_tier = 2048
+    # ---- axon-runtime workarounds, config-gated (round-2 bisections) ----
+    # dtype MV/residual payloads ship in. float16 halves tunnel traffic
+    # AND avoids a reproducible axon fault on f32-input eval programs;
+    # set "float32" on sane runtimes for bit-parity with the reference's
+    # f32 chain (bounded-delta test: tests/test_payload_dtype.py).
+    p.mv_res_dtype = "float16"
+    # block_until_ready after every dispatch window: overlapped
+    # host->device transfers fault the axon tunnel. False enables
+    # overlapped (double-buffered) staging — ~20% more throughput.
+    p.sync_per_window = True
+    # route GOP eval through the lax.scan program only (the standalone
+    # single-GOP program faults the axon runtime at first execution)
+    p.scan_only = True
 
     _finalize(c)
     return c

@@ -63,6 +63,11 @@ def _lib():
     lib.coviar_encode_test_video.argtypes = [
         ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int]
+    if hasattr(lib, "coviar_encode_frames"):
+        lib.coviar_encode_frames.restype = ctypes.c_int
+        lib.coviar_encode_frames.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
     if hasattr(lib, "coviar_decode_gop_prepared_mode"):
         lib.coviar_decode_gop_prepared_mode.restype = ctypes.c_int
         lib.coviar_decode_gop_prepared_mode.argtypes = [
@@ -289,5 +294,24 @@ def encode_test_video(path: str, n_frames: int = 36, w: int = 128,
     else:
         rc = lib.coviar_encode_test_video(path.encode(), n_frames, w, h,
                                           gop_size, seed)
+    if rc != 0:
+        raise IOError(f"encode failed rc={rc}")
+
+
+def encode_frames(path: str, frames, gop_size: int = 12):
+    """Encode (N, H, W, 3) uint8 BGR frames to an MPEG-4 stream with a
+    fixed GOP — the synthetic-dataset generator's encoder (data/synth.py).
+    H and W must be even (YUV420 chroma subsampling)."""
+    import numpy as np
+
+    lib = _lib()
+    if lib is None or not hasattr(lib, "coviar_encode_frames"):
+        raise RuntimeError("libcoviar_tpu.so lacks coviar_encode_frames")
+    frames = np.ascontiguousarray(frames, np.uint8)
+    n, h, w, c = frames.shape
+    assert c == 3 and h % 2 == 0 and w % 2 == 0, frames.shape
+    rc = lib.coviar_encode_frames(
+        path.encode(), frames.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n, w, h, gop_size)
     if rc != 0:
         raise IOError(f"encode failed rc={rc}")

@@ -38,6 +38,18 @@ from lsfa_tpu.data.image import (
 GOP_SIZE = 12
 
 
+def payload_dtype(cfg) -> np.dtype:
+    """dtype MV/residual payloads ship in (cfg.tpu.mv_res_dtype).
+
+    float16 (default): half the host->device traffic, ample precision for
+    values spanning ~±400 — and, decisive on the axon tunnel runtime,
+    the f32-input variants of the compiled eval programs reproducibly
+    fault the backend (bisected 2026-08-16). float32 restores the
+    reference's full-precision chain on sane runtimes; the detection
+    delta between the two is bounded by tests/test_payload_dtype.py."""
+    return np.dtype(getattr(cfg.tpu, "mv_res_dtype", "float16"))
+
+
 def _read_jpeg_bgr(path: str) -> np.ndarray:
     im = np.asarray(Image.open(path).convert("RGB"), np.uint8)
     return im[:, :, ::-1].astype(np.float32)
@@ -196,7 +208,8 @@ def zero_residual_grid(shape, info, pixel_means, pixel_scale,
     return out
 
 
-def collate_train_batch(samples, bucket_hw, max_gt: int = 100):
+def collate_train_batch(samples, bucket_hw, max_gt: int = 100,
+                        mv_res_dtype=np.float16):
     """Stack samples into one fixed-shape device batch."""
     bh, bw = bucket_hw
     fb = (bh // 16, bw // 16)
@@ -208,14 +221,13 @@ def collate_train_batch(samples, bucket_hw, max_gt: int = 100):
             [pad_to_bucket(s["data_ref"], bucket_hw) for s in samples]),
         "data_ref_old": np.concatenate(
             [pad_to_bucket(s["data_ref_old"], bucket_hw) for s in samples]),
-        # f16 payloads: ample precision, and f32 MV/residual inputs fault
-        # the axon TPU backend (see PreparedVideo.frame)
+        # payload dtype is config-gated (see payload_dtype)
         "motion_vector": np.concatenate(
             [pad_to_bucket(s["motion_vector"], fb) for s in samples]
-        ).astype(np.float16),
+        ).astype(mv_res_dtype),
         "res_diff": np.concatenate(
             [pad_to_bucket(s["res_diff"], fb) for s in samples]
-        ).astype(np.float16),
+        ).astype(mv_res_dtype),
         "eq_flag": np.asarray([s["eq_flag"] for s in samples], np.float32),
         "eq_flag_old": np.asarray([s["eq_flag_old"] for s in samples],
                                   np.float32),
@@ -309,8 +321,9 @@ class TrainLoader:
                                                 wrng,
                                                 bucket_hw=self.buckets[bi])
                                for j in idxs]
-                    q.put(collate_train_batch(samples, self.buckets[bi],
-                                              self.max_gt))
+                    q.put(collate_train_batch(
+                        samples, self.buckets[bi], self.max_gt,
+                        mv_res_dtype=payload_dtype(self.cfg)))
                 except BaseException as e:    # surface in the main thread
                     q.put(e)                  # (a dead worker would hang
                     return                    # the epoch on q.get())
@@ -361,19 +374,14 @@ class PreparedVideo:
         return self._cache
 
     def frame(self, fid: int):
-        """(data (1,bh,bw,3) u8, small (1,...) u8, mv (1,fh,fw,2) f16,
-        res (1,fh,fw,3) f16, im_info (1,3) f32).
-
-        MV/residual ship as float16: half the tunnel traffic, ample
-        precision (values span ~±400), and — decisive on this runtime —
-        the f32-input variants of the compiled eval programs reproducibly
-        fault the axon TPU backend (UNAVAILABLE at first execution;
-        bisected 2026-08-16), while the f16 variants run."""
+        """(data (1,bh,bw,3) u8, small (1,...) u8, mv (1,fh,fw,2),
+        res (1,fh,fw,3) in payload_dtype, im_info (1,3) f32)."""
         gop, pos = fid // GOP_SIZE, fid % GOP_SIZE
         frames, smalls, mv, res, info = self.gop(gop)
+        dt = payload_dtype(self.cfg)
         return (frames[pos:pos + 1], smalls[pos:pos + 1],
-                mv[pos:pos + 1].astype(np.float16),
-                res[pos:pos + 1].astype(np.float16), info[None])
+                mv[pos:pos + 1].astype(dt),
+                res[pos:pos + 1].astype(dt), info[None])
 
 
 def prepared_available() -> bool:
@@ -451,14 +459,14 @@ class EvalLoader:
                     mv, res, im_scale, means, pscale,
                     legacy_swap=bool(getattr(cfg.network,
                                              "res_diff_legacy_swap", False)))
+                dt = payload_dtype(cfg)
                 yield {
                     "video_index": vid_idx, "frame_id": fid, "flag": flag,
                     "data": data,
                     "small": small,
                     "im_info": np.asarray(
                         [[im_r.shape[0], im_r.shape[1], im_scale]], np.float32),
-                    # f16 payloads (see PreparedVideo.frame: precision is
-                    # ample and f32 variants fault the axon runtime)
-                    "motion_vector": pad_to_bucket(mv_t, fb).astype(np.float16),
-                    "res_diff": pad_to_bucket(res_t, fb).astype(np.float16),
+                    # payload dtype is config-gated (see payload_dtype)
+                    "motion_vector": pad_to_bucket(mv_t, fb).astype(dt),
+                    "res_diff": pad_to_bucket(res_t, fb).astype(dt),
                 }

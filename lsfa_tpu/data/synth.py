@@ -1,0 +1,208 @@
+"""Procedural VID-style synthetic dataset (no external data needed).
+
+The environment has no ILSVRC2015; this generator produces the richest
+stand-in the accuracy case can be built on (VERDICT round-2 item 1b):
+  * several visually distinct object classes (shape x color x texture),
+  * 1..3 objects per video with independent bouncing motion + size
+    oscillation, over a textured, camera-panning background,
+  * landscape AND portrait clips,
+  * encoded to real MPEG-4 streams (fixed GOP) through the native
+    encoder, so training/eval exercise the actual compressed-domain
+    path: decoded frames, accumulated motion vectors and residuals.
+
+Outputs use the same roidb/annotation shapes as data.dataset.ImageNetVID
+so TrainLoader / eval_videos / vid_eval consume them unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+
+import numpy as np
+
+from lsfa_tpu.data import coviar
+
+# class id (1-based; 0 = background) -> (shape, base BGR color)
+# 8 classes, each separable by shape AND color
+CLASS_STYLES = [
+    ("disk", (60, 60, 220)),       # 1: red disk
+    ("square", (70, 200, 70)),     # 2: green square
+    ("triangle", (220, 80, 60)),   # 3: blue triangle
+    ("ring", (50, 200, 230)),      # 4: yellow ring
+    ("cross", (200, 60, 200)),     # 5: magenta cross
+    ("diamond", (210, 210, 90)),   # 6: cyan diamond
+    ("hstripe", (40, 140, 230)),   # 7: orange h-striped square
+    ("vstripe", (160, 90, 40)),    # 8: navy v-striped square
+]
+NUM_SYNTH_CLASSES = len(CLASS_STYLES)
+
+
+def _background(w, h, n_frames, rng):
+    """Textured background with slow camera pan: a larger texture window
+    slides over time (gives non-key frames real global motion vectors)."""
+    pan = rng.uniform(-1.5, 1.5, size=2)
+    pad = int(np.ceil(max(abs(pan)) * n_frames)) + 4
+    bw, bh = w + 2 * pad, h + 2 * pad
+    # smooth low-frequency noise: coarse grid upsampled bilinearly
+    coarse = rng.uniform(0, 60, (3, bh // 32 + 2, bw // 32 + 2))
+    yy = np.linspace(0, coarse.shape[1] - 1.001, bh)
+    xx = np.linspace(0, coarse.shape[2] - 1.001, bw)
+    y0, x0 = yy.astype(int), xx.astype(int)
+    fy, fx = (yy - y0)[:, None], (xx - x0)[None, :]
+    tex = np.stack([
+        (c[y0][:, x0] * (1 - fy) * (1 - fx) + c[y0 + 1][:, x0] * fy * (1 - fx)
+         + c[y0][:, x0 + 1] * (1 - fy) * fx + c[y0 + 1][:, x0 + 1] * fy * fx)
+        for c in coarse], axis=-1)
+    base = rng.uniform(60, 120, 3)
+    gx = np.linspace(0, rng.uniform(-30, 30), bw)[None, :, None]
+    gy = np.linspace(0, rng.uniform(-30, 30), bh)[:, None, None]
+    bg = np.clip(base + tex + gx + gy, 0, 235)
+    return bg.astype(np.uint8), pan, pad
+
+
+def _paint(frame, shape, color, cx, cy, s, phase):
+    """Paint one object; returns its tight [x1, y1, x2, y2] or None."""
+    h, w = frame.shape[:2]
+    x1 = max(int(np.floor(cx - s)), 0)
+    y1 = max(int(np.floor(cy - s)), 0)
+    x2 = min(int(np.ceil(cx + s)), w - 1)
+    y2 = min(int(np.ceil(cy + s)), h - 1)
+    if x2 <= x1 + 2 or y2 <= y1 + 2:
+        return None
+    ys = np.arange(y1, y2 + 1)[:, None] - cy
+    xs = np.arange(x1, x2 + 1)[None, :] - cx
+    if shape == "disk":
+        mask = xs ** 2 + ys ** 2 <= s ** 2
+    elif shape == "square":
+        mask = (np.abs(xs) <= s) & (np.abs(ys) <= s)
+    elif shape == "triangle":
+        mask = (ys >= -s) & (ys <= s) & (np.abs(xs) <= (s - ys) / 2 + 1)
+    elif shape == "ring":
+        r2 = xs ** 2 + ys ** 2
+        mask = (r2 <= s ** 2) & (r2 >= (0.55 * s) ** 2)
+    elif shape == "cross":
+        third = max(s / 3.0, 2.0)
+        mask = (((np.abs(xs) <= third) & (np.abs(ys) <= s))
+                | ((np.abs(ys) <= third) & (np.abs(xs) <= s)))
+    elif shape == "diamond":
+        mask = np.abs(xs) + np.abs(ys) <= s
+    elif shape == "hstripe":
+        mask = ((np.abs(xs) <= s) & (np.abs(ys) <= s)
+                & (((ys + s) // max(s / 2.5, 2)).astype(int) % 2 == 0))
+    else:  # vstripe
+        mask = ((np.abs(xs) <= s) & (np.abs(ys) <= s)
+                & (((xs + s) // max(s / 2.5, 2)).astype(int) % 2 == 0))
+    if not mask.any():
+        return None
+    # per-pixel shading so the residual/MV chain sees texture, not flats
+    shade = 0.75 + 0.25 * np.sin((xs + ys) / 6.0 + phase)
+    patch = frame[y1:y2 + 1, x1:x2 + 1].astype(np.float32)
+    col = np.asarray(color, np.float32)[None, None, :] * shade[..., None]
+    patch[mask] = np.clip(col, 0, 255)[mask]
+    frame[y1:y2 + 1, x1:x2 + 1] = patch.astype(np.uint8)
+    # tight box of the painted mask (the annotation)
+    mys, mxs = np.nonzero(mask)
+    return [float(x1 + mxs.min()), float(y1 + mys.min()),
+            float(x1 + mxs.max()), float(y1 + mys.max())]
+
+
+def render_video(w, h, n_frames, rng, min_objects=1, max_objects=3):
+    """Render one clip. Returns (frames (N,H,W,3) uint8 BGR,
+    per-frame list of (box[4], class_id))."""
+    bg, pan, pad = _background(w, h, n_frames, rng)
+    n_obj = int(rng.integers(min_objects, max_objects + 1))
+    objs = []
+    for _ in range(n_obj):
+        cls = int(rng.integers(1, NUM_SYNTH_CLASSES + 1))
+        s0 = float(rng.uniform(0.06, 0.16) * min(w, h))
+        objs.append({
+            "cls": cls, "shape": CLASS_STYLES[cls - 1][0],
+            "color": CLASS_STYLES[cls - 1][1], "s0": s0,
+            "p": rng.uniform([s0 + 2, s0 + 2], [w - s0 - 2, h - s0 - 2]),
+            "v": rng.uniform(-5, 5, 2),
+            "wob": float(rng.uniform(0, 2 * np.pi)),
+            "phase": float(rng.uniform(0, 2 * np.pi)),
+        })
+    frames = np.empty((n_frames, h, w, 3), np.uint8)
+    annos = []
+    for t in range(n_frames):
+        ox = pad + int(round(pan[0] * t))
+        oy = pad + int(round(pan[1] * t))
+        frame = bg[oy:oy + h, ox:ox + w].copy()
+        boxes = []
+        for o in objs:
+            s = o["s0"] * (1.0 + 0.15 * np.sin(2 * np.pi * t / 36 + o["wob"]))
+            box = _paint(frame, o["shape"], o["color"],
+                         o["p"][0], o["p"][1], s, o["phase"])
+            if box is not None:
+                boxes.append((box, o["cls"]))
+            # bounce physics
+            o["p"] += o["v"]
+            for d, lim in ((0, w), (1, h)):
+                if o["p"][d] < s + 1:
+                    o["p"][d], o["v"][d] = s + 1, abs(o["v"][d])
+                if o["p"][d] > lim - s - 1:
+                    o["p"][d], o["v"][d] = lim - s - 1, -abs(o["v"][d])
+        frames[t] = frame
+        annos.append(boxes)
+    return frames, annos
+
+
+def make_synth_vid_dataset(out_dir, n_videos=8, n_frames=60, seed=0,
+                           sizes=((960, 576), (576, 960)), gop_size=12,
+                           min_objects=1, max_objects=3, split="train"):
+    """Generate videos + annotations. Returns (frame_roidb, video_roidb,
+    annotations) where
+      frame_roidb: one record per frame in TrainLoader's format,
+      video_roidb: one record per video in eval_videos' format,
+      annotations: {global_frame_idx -> {labels, boxes}} for vid_eval.
+    Cached: videos + a .pkl of the annotations keyed by the generator
+    parameters; re-calling with the same arguments reuses them."""
+    os.makedirs(out_dir, exist_ok=True)
+    tag = f"{split}_v{n_videos}_f{n_frames}_s{seed}"
+    cache = os.path.join(out_dir, f"{tag}.pkl")
+    if os.path.exists(cache):
+        with open(cache, "rb") as f:
+            meta = pickle.load(f)
+    else:
+        rng = np.random.default_rng(seed)
+        meta = []
+        for vi in range(n_videos):
+            w, h = sizes[vi % len(sizes)]
+            frames, annos = render_video(w, h, n_frames, rng,
+                                         min_objects, max_objects)
+            vp = os.path.join(out_dir, f"{tag}_{vi:03d}.mp4")
+            coviar.encode_frames(vp, frames, gop_size=gop_size)
+            meta.append({"video_path": vp, "w": w, "h": h,
+                         "annos": annos})
+        with open(cache, "wb") as f:
+            pickle.dump(meta, f, protocol=pickle.HIGHEST_PROTOCOL)
+
+    frame_roidb, video_roidb, annotations = [], [], {}
+    gidx = 0
+    for vi, m in enumerate(meta):
+        video_roidb.append({
+            "vid_path": f"synth/{tag}_{vi:03d}",
+            "frame_seg_len": n_frames,
+            "pattern": os.path.join(out_dir, "missing_%06d.JPEG"),
+            "video_path": m["video_path"],
+            "height": m["h"], "width": m["w"],
+        })
+        for fid in range(n_frames):
+            boxes = np.asarray([b for b, _ in m["annos"][fid]],
+                               np.float32).reshape(-1, 4)
+            classes = np.asarray([c for _, c in m["annos"][fid]], np.int32)
+            frame_roidb.append({
+                "image": m["video_path"],      # error-message placeholder
+                "pattern": os.path.join(out_dir, "missing_%06d.JPEG"),
+                "video_path": m["video_path"],
+                "frame_seg_id": fid, "frame_seg_len": n_frames,
+                "height": m["h"], "width": m["w"],
+                "boxes": boxes, "gt_classes": classes,
+                "flipped": False,
+            })
+            annotations[gidx] = {"labels": classes.astype(int),
+                                 "boxes": boxes}
+            gidx += 1
+    return frame_roidb, video_roidb, annotations

@@ -63,16 +63,28 @@ def group_videos_by_bucket(video_roidb, cfg):
     return groups
 
 
-def _gop_eval_ok(rec, cfg) -> bool:
-    """GOP-scan eval applies when the key schedule aligns with real GOP
-    boundaries and the C data plane can serve the stream."""
+def _gop_eval_reason(rec, cfg) -> str | None:
+    """GOP-scan eligibility; returns None when eligible, else the reason
+    the video falls back to the ~6x-slower per-frame path (logged —
+    a silent fallback looked like a perf regression in round 2).
+
+    The key schedule must EQUAL the GOP size: process_prepared_window
+    keys every GOP, so a multiple like 24 would silently produce more
+    key frames than the streaming schedule (and the reference's
+    loader.py:92-97)."""
     from lsfa_tpu.data.loader import GOP_SIZE, prepared_available
 
     video = rec.get("video_path")
-    return (video is not None and os.path.exists(video)
-            and prepared_available()
-            and cfg.TEST.KEY_FRAME_INTERVAL % GOP_SIZE == 0
-            and rec["frame_seg_len"] >= GOP_SIZE)
+    if video is None or not os.path.exists(video):
+        return "no compressed stream on disk"
+    if not prepared_available():
+        return "native prepared-decode plane not built"
+    if cfg.TEST.KEY_FRAME_INTERVAL != GOP_SIZE:
+        return (f"KEY_FRAME_INTERVAL={cfg.TEST.KEY_FRAME_INTERVAL} != "
+                f"GOP_SIZE={GOP_SIZE} (GOP window keys every GOP)")
+    if rec["frame_seg_len"] < GOP_SIZE:
+        return f"video shorter than one GOP ({rec['frame_seg_len']} frames)"
+    return None
 
 
 def eval_videos(model, variables, cfg, video_roidb, det_cache: str | None = None,
@@ -106,11 +118,17 @@ def eval_videos(model, variables, cfg, video_roidb, det_cache: str | None = None
         # ~6x the per-frame mode on dispatch-latency-bound runtimes;
         # equivalence-tested against streaming (test_streaming.py)
         gop_recs, frame_recs = [], []
+        fallback_reasons: dict = {}
         for rec in recs:
-            if _gop_eval_ok(rec, cfg):
+            reason = _gop_eval_reason(rec, cfg)
+            if reason is None:
                 gop_recs.append(rec)
             else:
+                fallback_reasons[reason] = fallback_reasons.get(reason, 0) + 1
                 frame_recs.append(rec)
+        for reason, count in fallback_reasons.items():
+            log(f"GOP-scan fallback -> per-frame path for {count} "
+                f"video(s): {reason}")
         for rec in gop_recs:
             from lsfa_tpu.data.loader import GOP_SIZE, PreparedVideo
 
@@ -148,6 +166,8 @@ def eval_videos(model, variables, cfg, video_roidb, det_cache: str | None = None
             if rest > 0:
                 tail = dict(rec)
                 tail["_tail_start"] = n_gops * GOP_SIZE
+                # the per-frame loop indexes `base` by id() of ITS records
+                base[id(tail)] = vid_base
                 frame_recs.append(tail)
             if max_frames is not None and frame_counter >= max_frames:
                 break
@@ -184,6 +204,50 @@ def eval_videos(model, variables, cfg, video_roidb, det_cache: str | None = None
                 if max_frames is not None and frame_counter >= max_frames:
                     break
     log(timer.summary())
+    if det_cache:
+        os.makedirs(os.path.dirname(det_cache) or ".", exist_ok=True)
+        with open(det_cache, "wb") as f:
+            pickle.dump(detections, f, protocol=pickle.HIGHEST_PROTOCOL)
+    return detections
+
+
+def eval_videos_lanes(model, variables, cfg, video_roidb, lanes: int,
+                      det_cache: str | None = None, logger=None,
+                      mesh=None):
+    """Multi-lane (and optionally mesh-sharded) mAP-path evaluation:
+    `lanes` video streams run in lockstep as one batched program per
+    bucket group, detections merged back to the GLOBAL frame order of
+    video_roidb — the production form of the reference's multi-GPU video
+    sharding (function/test_rcnn.py:69-75, tester.py:301-312
+    pred_eval_multiprocess). Returns the same {global_frame_idx -> dets}
+    mapping as eval_videos, so evaluate_map consumes either."""
+    from lsfa_tpu.eval.multistream import eval_videos_multistream
+
+    log = logger.info if logger else print
+    if det_cache and os.path.exists(det_cache):
+        with open(det_cache, "rb") as f:
+            log(f"loaded detection cache {det_cache}")
+            return pickle.load(f)
+
+    base = {}
+    acc = 0
+    for rec in video_roidb:
+        base[id(rec)] = acc
+        acc += rec["frame_seg_len"]
+
+    detections = {}
+    for bucket, recs in group_videos_by_bucket(video_roidb, cfg).items():
+        log(f"bucket {bucket}: {len(recs)} videos over {lanes} lanes")
+        lane_dets = eval_videos_multistream(
+            model, variables, cfg, recs, lanes=lanes, logger=logger,
+            mesh=mesh, bucket_hw=bucket)
+        for (vi, fid), det in lane_dets.items():
+            gidx = base[id(recs[vi])] + fid
+            if fid < recs[vi]["frame_seg_len"]:
+                detections[gidx] = det
+    missing = acc - len(detections)
+    if missing:
+        log(f"WARNING: {missing} frames produced no detections record")
     if det_cache:
         os.makedirs(os.path.dirname(det_cache) or ".", exist_ok=True)
         with open(det_cache, "wb") as f:

@@ -40,6 +40,11 @@ def build_lane_playlists(video_roidb, lanes: int, interval: int):
             fid = min(f, n - 1)
             pl.append((int(vi), fid, f < n))
         loads[lane] += padded
+    # more lanes than videos: idle lanes replay video 0 as padding so the
+    # fixed-batch programs always see `lanes` streams
+    for pl in playlists:
+        if not pl:
+            pl.extend((int(order[0]), 0, False) for _ in range(interval))
     return playlists
 
 
@@ -56,6 +61,8 @@ class MultiStreamEvalLoader:
                                               self.interval)
         self.n_steps = max(len(p) for p in self.playlists)
         self._prepared: dict = {}     # video_path -> PreparedVideo
+        from lsfa_tpu.data.loader import payload_dtype
+        self._dtype = payload_dtype(cfg)
 
     def _prepared_frame(self, rec, fid):
         """C++ data-plane fast path; None when unavailable for this rec."""
@@ -139,8 +146,8 @@ class MultiStreamEvalLoader:
                                              "res_diff_legacy_swap", False)))
                 datas.append(data)
                 smalls.append(small)
-                mvs.append(pad_to_bucket(mv_t, fb).astype(np.float16))
-                ress.append(pad_to_bucket(res_t, fb).astype(np.float16))
+                mvs.append(pad_to_bucket(mv_t, fb).astype(self._dtype))
+                ress.append(pad_to_bucket(res_t, fb).astype(self._dtype))
                 infos.append([im_r.shape[0], im_r.shape[1], im_scale])
                 lane_meta.append((vi, fid, real))
                 if flag in (0, 1) and vi != prev_video[l]:
@@ -160,7 +167,8 @@ class MultiStreamEvalLoader:
 
 def eval_videos_multistream(model, variables, cfg, video_roidb,
                             lanes: int = 4, logger=None,
-                            max_steps: int | None = None, mesh=None):
+                            max_steps: int | None = None, mesh=None,
+                            bucket_hw=None):
     """Lane-batched streaming detection. Returns
     {(video_idx, frame_id) -> {labels, scores, boxes}}.
 
@@ -170,11 +178,12 @@ def eval_videos_multistream(model, variables, cfg, video_roidb,
     from lsfa_tpu.data.prefetch import DevicePrefetcher
 
     log = logger.info if logger else print
-    h, w = cfg.tpu.default_bucket
+    h, w = bucket_hw or cfg.tpu.default_bucket
     det = StreamingDetector(model, variables, cfg, (h, w), batch=lanes,
                             mesh=mesh)
     loader = DevicePrefetcher(
-        MultiStreamEvalLoader(video_roidb, cfg, lanes=lanes), depth=2,
+        MultiStreamEvalLoader(video_roidb, cfg, lanes=lanes,
+                              bucket_hw=(h, w)), depth=2,
         keys=("data", "small", "motion_vector", "res_diff", "im_info"))
     detections = {}
     for step, item in enumerate(loader):

@@ -221,7 +221,19 @@ class StreamingDetector:
         key_frame: (1, H, W, 3) raw BGR; smalls: (N-1, H/s, W/s, 3);
         motion_vectors: (N-1, fh, fw, 2); res_diffs: (N-1, fh, fw, 3).
 
-        Returns (key_dets, key_valid, cur_dets (N-1, M, 6), cur_valids)."""
+        Returns (key_dets, key_valid, cur_dets (N-1, M, 6), cur_valids).
+
+        cfg.tpu.scan_only (default True) routes this through the G=1
+        lax.scan program instead of the standalone single-GOP program —
+        identical outputs (the scan body IS the gop step), but the
+        standalone variant reproducibly faults the axon runtime at first
+        execution (round-2 bisection)."""
+        if bool(getattr(self.cfg.tpu, "scan_only", True)):
+            kd, kv, cd, cv = self.process_gops(
+                np.asarray(key_frame)[None], np.asarray(smalls)[None],
+                np.asarray(motion_vectors)[None],
+                np.asarray(res_diffs)[None], im_info, first=first)
+            return kd[0], kv[0], cd[0], cv[0]
         im_info = jnp.asarray(im_info)
         is_first = jnp.full((self.batch,), 1.0 if first else 0.0)
         feat, prep, kd, kv, cd, cv = self._gop_step(
@@ -260,15 +272,18 @@ class StreamingDetector:
         """Run a window of prepared GOP payloads (the C data plane's
         (frames, smalls, mv, res, info) tuples) through the scan program.
 
-        Only the key frame of each GOP ships full-res; MV/residual are cast
-        to f16 (ample precision; f32-input program variants fault the axon
-        runtime — see DESIGN.md). Returns (key_dets (G,1,M,6), key_valids,
-        cur_dets (G,n,M,6), cur_valids). The caller must keep window length
-        constant across calls to stay on one compiled program."""
+        Only the key frame of each GOP ships full-res; MV/residual ship in
+        cfg.tpu.mv_res_dtype (f16 default — see data.loader.payload_dtype).
+        Returns (key_dets (G,1,M,6), key_valids, cur_dets (G,n,M,6),
+        cur_valids). The caller must keep window length constant across
+        calls to stay on one compiled program."""
+        from lsfa_tpu.data.loader import payload_dtype
+
+        dt = payload_dtype(self.cfg)
         key_frames = np.stack([p[0][0:1] for p in payloads])
         smalls = np.stack([p[1][1:] for p in payloads])
-        mvs = np.stack([p[2][1:] for p in payloads]).astype(np.float16)
-        ress = np.stack([p[3][1:] for p in payloads]).astype(np.float16)
+        mvs = np.stack([p[2][1:] for p in payloads]).astype(dt)
+        ress = np.stack([p[3][1:] for p in payloads]).astype(dt)
         info = payloads[0][4][None]
         return self.process_gops(key_frames, smalls, mvs, ress, info,
                                  first=first)

@@ -25,17 +25,18 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from lsfa_tpu.ops.boxes import bbox_pred, clip_boxes
+from lsfa_tpu.ops.boxes import bbox_pred, clip_boxes, iou_pred
 from lsfa_tpu.ops.nms import nms_fixed
 
 
 @partial(jax.jit, static_argnames=("pre_nms_top_n", "post_nms_top_n",
                                    "nms_thresh", "min_size", "feat_stride",
-                                   "nms_tier"))
+                                   "nms_tier", "iou_loss"))
 def rpn_proposals(fg_scores, bbox_deltas, anchors, im_info,
                   pre_nms_top_n: int = 6000, post_nms_top_n: int = 300,
                   nms_thresh: float = 0.7, min_size: int = 16,
-                  feat_stride: int = 16, nms_tier: int = 0):
+                  feat_stride: int = 16, nms_tier: int = 0,
+                  iou_loss: bool = False):
     """Single-image proposal generation.
 
     Args:
@@ -51,6 +52,10 @@ def rpn_proposals(fg_scores, bbox_deltas, anchors, im_info,
         score maps keep ~1/3 of boxes at thresh 0.7, so a 2048 tier
         covers 300 outputs with a ~2x margin while shrinking the
         suppression matrix ~9x.) 0 = full pre-NMS set (strict parity).
+      iou_loss: decode deltas as per-corner additive offsets instead of
+        the center/log-size transform — the MultiProposal op's iou_loss
+        mode (multi_proposal-inl.h:152-156, IoUPredKernel at
+        multi_proposal.cu:143-194).
 
     Returns:
       rois: (post_nms_top_n, 5) [batch0, x1, y1, x2, y2] float32.
@@ -62,7 +67,8 @@ def rpn_proposals(fg_scores, bbox_deltas, anchors, im_info,
     deltas = bbox_deltas.reshape(-1, 4).astype(jnp.float32)
 
     # (2) decode + clip to real image extent
-    proposals = bbox_pred(anchors, deltas)
+    decode = iou_pred if iou_loss else bbox_pred
+    proposals = decode(anchors, deltas)
     proposals = clip_boxes(proposals, im_info[:2])
 
     # mask anchors whose grid cell lies outside the real (unpadded) feature

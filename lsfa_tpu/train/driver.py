@@ -113,8 +113,14 @@ def init_model(cfg, rng_seed: int = 0, logger=None):
 
 
 def train_net(cfg, roidb=None, ckpt_dir: str | None = None,
-              logger=None, max_steps: int | None = None):
-    """Run the full training recipe. Returns (params, batch_stats)."""
+              logger=None, max_steps: int | None = None,
+              metrics_hook=None):
+    """Run the full training recipe. Returns (params, batch_stats).
+
+    metrics_hook(step, metrics_dict): called every step with the device
+    metric arrays (convert lazily — forcing floats every step syncs the
+    pipeline). Loader-wait vs step time is accumulated and logged at the
+    end (is training step-bound or decode-bound on this host?)."""
     if logger is None:
         logger, out_dir = create_logger(cfg.output_path, cfg.symbol,
                                         cfg.dataset.image_set)
@@ -164,20 +170,42 @@ def train_net(cfg, roidb=None, ckpt_dir: str | None = None,
         lambda x: jax.device_put(x, rsh) if hasattr(x, "shape") else x,
         opt_state)
 
+    import time
+
     speedo = Speedometer(batch, cfg.default.frequent, logger)
     rng = jax.random.PRNGKey(42)
     step_count = 0
+    data_wait = 0.0
+    t_start = time.perf_counter()
+
+    def _feed_summary():
+        wall = time.perf_counter() - t_start
+        if step_count and wall > 0:
+            logger.info(
+                f"feed summary: {step_count} steps in {wall:.1f}s "
+                f"({step_count / wall:.2f} steps/s), loader-wait "
+                f"{data_wait:.1f}s ({100 * data_wait / wall:.1f}% of wall)")
+
     for epoch in range(begin_epoch, cfg.TRAIN.end_epoch):
-        for bi, host_batch in enumerate(loader):
+        it = iter(loader)
+        while True:
+            t0 = time.perf_counter()
+            host_batch = next(it, None)
+            data_wait += time.perf_counter() - t0
+            if host_batch is None:
+                break
             dev_batch = jax.tree.map(
                 lambda x: jax.device_put(x, bsh), host_batch)
             rng, sub = jax.random.split(rng)
             params, batch_stats, opt_state, metrics = train_step(
                 params, batch_stats, opt_state, dev_batch, sub)
             speedo(step_count, metrics)
+            if metrics_hook is not None:
+                metrics_hook(step_count, metrics)
             step_count += 1
             if max_steps is not None and step_count >= max_steps:
                 logger.info("max_steps reached, stopping early")
+                _feed_summary()
                 if ckpt_dir:
                     save_checkpoint(ckpt_dir, epoch + 1, params, batch_stats,
                                     opt_state)
@@ -185,4 +213,5 @@ def train_net(cfg, roidb=None, ckpt_dir: str | None = None,
         if ckpt_dir:
             save_checkpoint(ckpt_dir, epoch + 1, params, batch_stats, opt_state)
             logger.info(f"checkpointed epoch {epoch + 1}")
+    _feed_summary()
     return params, batch_stats

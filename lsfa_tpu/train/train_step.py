@@ -45,6 +45,8 @@ class TrainSettings:
     rpn_fg_fraction: float = 0.5
     rpn_pos_thresh: float = 0.7
     rpn_neg_thresh: float = 0.3
+    # bg assignment runs AFTER fg when set (lib/rpn/rpn.py:229-239)
+    rpn_clobber_positives: bool = False
     pre_nms_top_n: int = 6000
     post_nms_top_n: int = 300
     nms_thresh: float = 0.7
@@ -78,6 +80,7 @@ class TrainSettings:
             rpn_fg_fraction=cfg.TRAIN.RPN_FG_FRACTION,
             rpn_pos_thresh=cfg.TRAIN.RPN_POSITIVE_OVERLAP,
             rpn_neg_thresh=cfg.TRAIN.RPN_NEGATIVE_OVERLAP,
+            rpn_clobber_positives=cfg.TRAIN.RPN_CLOBBER_POSITIVES,
             pre_nms_top_n=cfg.TRAIN.RPN_PRE_NMS_TOP_N,
             post_nms_top_n=cfg.TRAIN.RPN_POST_NMS_TOP_N,
             nms_thresh=cfg.TRAIN.RPN_NMS_THRESH,
@@ -106,6 +109,7 @@ def detection_losses(out, batch, anchors, rng, s: TrainSettings):
         anchors, gt, gv, ii, k,
         rpn_batch=s.rpn_batch, fg_fraction=s.rpn_fg_fraction,
         pos_thresh=s.rpn_pos_thresh, neg_thresh=s.rpn_neg_thresh,
+        clobber_positives=s.rpn_clobber_positives,
         normalize=s.normalize_rpn, means=s.anchor_means, stds=s.anchor_stds,
     ))(batch["gt_boxes"], batch["gt_valid"], batch["im_info"], keys)
     rpn_labels = assign["label"].reshape(b, fh, fw, a)

@@ -808,9 +808,13 @@ COVIAR_API int coviar_decode_gop_prepared(
 
 // ---- test-clip synthesis (MPEG-4, fixed GOP; b_frames>0 only for the
 // B-frame-rejection test) ----
+// bgr: optional caller-provided frames (n_frames * hgt * w * 3, BGR24
+// packed) — encoded instead of the procedural pattern when non-null
+// (the synthetic-dataset generator's path, data/synth.py)
 static int encode_test_video_impl(const char* path, int n_frames,
                                   int w, int hgt, int gop_size,
-                                  int seed, int b_frames) {
+                                  int seed, int b_frames,
+                                  const uint8_t* bgr = nullptr) {
     const AVCodec* codec = avcodec_find_encoder(AV_CODEC_ID_MPEG4);
     if (!codec) return -1;
     AVFormatContext* fmt = nullptr;
@@ -857,8 +861,22 @@ static int encode_test_video_impl(const char* path, int n_frames,
         }
     };
 
+    SwsContext* to_yuv = nullptr;
+    if (bgr) {
+        to_yuv = sws_getContext(w, hgt, AV_PIX_FMT_BGR24, w, hgt,
+                                AV_PIX_FMT_YUV420P, SWS_BILINEAR,
+                                nullptr, nullptr, nullptr);
+        if (!to_yuv) return -5;
+    }
+
     for (int t = 0; t < n_frames; t++) {
         av_frame_make_writable(frm);
+        if (bgr) {
+            const uint8_t* src[1] = {bgr + (size_t)t * hgt * w * 3};
+            int src_stride[1] = {w * 3};
+            sws_scale(to_yuv, src, src_stride, 0, hgt, frm->data,
+                      frm->linesize);
+        } else {
         // smooth gradient background + moving square (codec-friendly motion)
         for (int y = 0; y < hgt; y++)
             for (int x = 0; x < w; x++)
@@ -875,6 +893,7 @@ static int encode_test_video_impl(const char* path, int n_frames,
                 frm->data[2][y * frm->linesize[2] + x] =
                     (uint8_t)(128 + ((y + t) & 7));
             }
+        }
         frm->pts = t;
         int rc;
         do {  // EAGAIN => drain output and retry (never drop a frame)
@@ -884,6 +903,7 @@ static int encode_test_video_impl(const char* path, int n_frames,
     }
     avcodec_send_frame(enc, nullptr);
     flush(pkt);
+    if (to_yuv) sws_freeContext(to_yuv);
     av_write_trailer(fmt);
     avcodec_free_context(&enc);
     av_frame_free(&frm);
@@ -904,4 +924,13 @@ COVIAR_API int coviar_encode_test_video_b(const char* path, int n_frames,
                                           int seed, int b_frames) {
     return encode_test_video_impl(path, n_frames, w, hgt, gop_size, seed,
                                   b_frames);
+}
+
+// Encode caller-provided BGR24 frames (n_frames, hgt, w, 3) to an MPEG-4
+// stream with a fixed GOP — the synthetic-dataset generator's encoder.
+COVIAR_API int coviar_encode_frames(const char* path, const uint8_t* bgr,
+                                    int n_frames, int w, int hgt,
+                                    int gop_size) {
+    return encode_test_video_impl(path, n_frames, w, hgt, gop_size, 0, 0,
+                                  bgr);
 }

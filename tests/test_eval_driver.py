@@ -43,6 +43,13 @@ def eval_env(tmp_path_factory):
     return str(root), str(dpath), vid_dir
 
 
+@pytest.fixture(scope="module")
+def tiny_model():
+    cfg = load_config("configs/lsfa_tiny_smoke.yaml")
+    model, params, bs = init_model(cfg)
+    return model, {"params": params, "batch_stats": bs}
+
+
 def test_shard_videos_balances_by_frames():
     roidb = [{"frame_seg_len": n} for n in (100, 50, 50, 10)]
     shards = shard_videos(roidb, 2)
@@ -50,7 +57,7 @@ def test_shard_videos_balances_by_frames():
     assert abs(loads[0] - loads[1]) <= 10
 
 
-def test_eval_driver_end_to_end(eval_env, tmp_path):
+def test_eval_driver_end_to_end(eval_env, tmp_path, tiny_model):
     root, dpath, vid_dir = eval_env
     cfg = load_config("configs/lsfa_tiny_smoke.yaml")
     cfg.dataset.root_path = root
@@ -66,8 +73,7 @@ def test_eval_driver_end_to_end(eval_env, tmp_path):
         "video_path": os.path.join(dpath, "Data", "VID", "mpeg4_snippets",
                                    vid_dir + ".mp4"),
     }]
-    model, params, bs = init_model(cfg)
-    variables = {"params": params, "batch_stats": bs}
+    model, variables = tiny_model
     logger = logging.getLogger("evaltest")
     logger.addHandler(logging.NullHandler())
 
@@ -85,6 +91,143 @@ def test_eval_driver_end_to_end(eval_env, tmp_path):
     # random weights: AP is defined (gt exists for class 3 'bear') and finite
     assert np.isfinite(mean_ap)
     assert 0.0 <= mean_ap <= 1.0
+
+
+def test_eval_driver_partial_gop_tail(tmp_path, tiny_model):
+    """A video whose length is NOT a multiple of GOP_SIZE must cover its
+    trailing frames via the per-frame fallback WITHOUT crashing (round-2
+    advisor: tail recs were appended with an unregistered base id ->
+    KeyError), and global frame indices must stay aligned across a
+    following video."""
+    from lsfa_tpu.data.loader import prepared_available
+
+    if not (coviar.available() and prepared_available()):
+        pytest.skip("native prepared-decode plane not built")
+    cfg = load_config("configs/lsfa_tiny_smoke.yaml")
+    tail_len = 30                             # 2 GOPs + 6-frame tail
+    vp = str(tmp_path / "tail_video.mp4")
+    coviar.encode_test_video(vp, n_frames=tail_len, w=W, h=H,
+                             gop_size=12, seed=7)
+    jdir = tmp_path / "jpegs"
+    os.makedirs(jdir)
+    for fid in range(3):
+        Image.fromarray(np.full((H, W, 3), 60 + 10 * fid, np.uint8)).save(
+            jdir / f"{fid:06d}.JPEG")
+    video_roidb = [
+        {"vid_path": "val/tail_a", "frame_seg_len": tail_len,
+         "pattern": str(jdir / "%06d.JPEG"), "video_path": vp},
+        # JPEG-only video behind it: exercises the global index offset
+        {"vid_path": "val/tail_b", "frame_seg_len": 3,
+         "pattern": str(jdir / "%06d.JPEG"), "video_path": None},
+    ]
+    model, variables = tiny_model
+    logger = logging.getLogger("tailtest")
+    logger.addHandler(logging.NullHandler())
+    dets = eval_videos(model, variables, cfg, video_roidb, logger=logger)
+    assert sorted(dets.keys()) == list(range(tail_len + 3))
+
+
+def test_gop_eval_gate_requires_interval_equal_gop(tmp_path, monkeypatch):
+    """GOP-scan eligibility: KEY_FRAME_INTERVAL must EQUAL GOP_SIZE —
+    a multiple (24) would silently key every GOP (12) instead of every 24
+    frames (round-2 advisor finding)."""
+    from lsfa_tpu.eval import driver as drv
+
+    monkeypatch.setattr("lsfa_tpu.data.loader.prepared_available",
+                        lambda: True)
+    vp = tmp_path / "v.mp4"
+    vp.write_bytes(b"x")
+    rec = {"video_path": str(vp), "frame_seg_len": 24}
+    cfg = load_config("configs/lsfa_tiny_smoke.yaml")
+    assert drv._gop_eval_reason(rec, cfg) is None
+    cfg.TEST.KEY_FRAME_INTERVAL = 24
+    reason = drv._gop_eval_reason(rec, cfg)
+    assert reason is not None and "KEY_FRAME_INTERVAL" in reason
+    cfg.TEST.KEY_FRAME_INTERVAL = 12
+    rec["frame_seg_len"] = 6
+    assert drv._gop_eval_reason(rec, cfg) is not None
+
+
+@pytest.fixture(scope="module")
+def two_video_env(tmp_path_factory):
+    """Two annotated 24-frame videos (mp4 + JPEG + XML) for lane tests."""
+    root = tmp_path_factory.mktemp("laneenv")
+    dpath = root / "ILSVRC2015"
+    iset = dpath / "ImageSets"
+    os.makedirs(iset)
+    vids = ["val/lane_a", "val/lane_b"]
+    with open(iset / "VID_val_videos.txt", "w") as f:
+        for v in vids:
+            f.write(f"{v} 1 0 {SEG_LEN}\n")
+    for k, vid_dir in enumerate(vids):
+        for fid in range(SEG_LEN):
+            img = np.full((H, W, 3), 60 + 20 * k, np.uint8)
+            p = dpath / "Data" / "VID" / vid_dir / f"{fid:06d}.JPEG"
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            Image.fromarray(img).save(p)
+            write_xml(
+                str(dpath / "Annotations" / "VID" / vid_dir / f"{fid:06d}.xml"),
+                W, H, [("n02131653", 15 + 5 * k, 20, 70, 60)])
+        if coviar.available():
+            vp = dpath / "Data" / "VID" / "mpeg4_snippets" / (vid_dir + ".mp4")
+            os.makedirs(os.path.dirname(vp), exist_ok=True)
+            coviar.encode_test_video(str(vp), n_frames=SEG_LEN, w=W, h=H,
+                                     gop_size=12, seed=11 + k)
+    return str(root), str(dpath), vids
+
+
+def test_multilane_launcher_equivalence(two_video_env, tiny_model):
+    """`lsfa_test.py --lanes N` path: lane-batched eval must cover every
+    frame and produce the same detections/mAP as single-lane — including
+    lanes > #videos (idle-lane padding). Round-2 gap: the lane machinery
+    existed but was unreachable from the mAP launcher."""
+    from lsfa_tpu.data.dataset import ImageNetVID
+    from lsfa_tpu.eval.driver import eval_videos_lanes
+
+    root, dpath, vids = two_video_env
+    cfg = load_config("configs/lsfa_tiny_smoke.yaml")
+    cfg.dataset.root_path = root
+    cfg.dataset.dataset_path = dpath
+    ds = ImageNetVID("VID_val_videos", root, dpath)
+    video_roidb = [{
+        "vid_path": v,
+        "frame_seg_len": SEG_LEN,
+        "pattern": os.path.join(dpath, "Data", "VID", v, "%06d.JPEG"),
+        "video_path": os.path.join(dpath, "Data", "VID", "mpeg4_snippets",
+                                   v + ".mp4"),
+    } for v in vids]
+    model, variables = tiny_model
+    logger = logging.getLogger("lanetest")
+    logger.addHandler(logging.NullHandler())
+
+    d1 = eval_videos_lanes(model, variables, cfg, video_roidb, lanes=1,
+                           logger=logger)
+    d3 = eval_videos_lanes(model, variables, cfg, video_roidb, lanes=3,
+                           logger=logger)
+    n_total = 2 * SEG_LEN
+    assert sorted(d1.keys()) == list(range(n_total))
+    assert sorted(d3.keys()) == list(range(n_total))
+    for gidx in range(n_total):
+        a, b = d1[gidx], d3[gidx]
+        # batch-1 vs batch-3 programs: XLA reassociates conv sums, so
+        # scores drift ~1e-6 and TIED-score NMS survivors can swap — a
+        # random-init model produces many exact ties. Frame alignment is
+        # what this guards: compare count + label multiset + sorted
+        # score multiset per global frame index.
+        assert a["labels"].shape == b["labels"].shape, gidx
+        np.testing.assert_array_equal(np.sort(a["labels"]),
+                                      np.sort(b["labels"]))
+        np.testing.assert_allclose(np.sort(a["scores"]),
+                                   np.sort(b["scores"]), atol=1e-4)
+    map1, _ = evaluate_map(d1, ds, video_roidb, logger=logger)
+    map3, _ = evaluate_map(d3, ds, video_roidb, logger=logger)
+    assert abs(map1 - map3) < 1e-6
+
+    # and the launcher's single-lane GOP path agrees on mAP
+    dets_gop = eval_videos(model, variables, cfg, video_roidb,
+                           logger=logger)
+    map_gop, _ = evaluate_map(dets_gop, ds, video_roidb, logger=logger)
+    assert abs(map_gop - map1) < 5e-3
 
 
 def test_bucket_picker_orientation():

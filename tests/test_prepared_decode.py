@@ -219,3 +219,33 @@ def test_train_sample_fast_path_flip(clip):
     mv_f = flip["motion_vector"][0, :gh, :gw]
     assert np.abs(mv_p[..., 0] + mv_f[:, ::-1, 0]).mean() < 0.2
     assert np.abs(mv_p[..., 1] - mv_f[:, ::-1, 1]).mean() < 0.2
+
+
+def test_frames_mode1_small_drift_bounded():
+    """frames_mode=1 computes non-key smalls by a direct SWS_AREA resize
+    of the raw frame instead of box-meaning the bilinear-resized padded
+    frame (the mode-0 / streaming math). Round-2 advisor: quantify the
+    drift. Measured: key frame exact, non-key mean |delta| ~0.16/255 with
+    isolated pixels up to ~24 (pad-boundary cells + sws fixed point).
+    This test pins those bounds so a regression (or a future exactness
+    fix) is visible."""
+    import numpy as np
+    from lsfa_tpu.data import coviar
+
+    if not coviar.available():
+        pytest.skip("native plane not built")
+    clip = "/tmp/lsfa_drift_bound.mp4"
+    coviar.encode_test_video(clip, n_frames=24, w=480, h=288, gop_size=12,
+                             seed=9)
+    r = coviar.VideoReader(clip)
+    kw = dict(stride=16, small_factor=4, legacy_swap=False)
+    s0 = r.decode_gop_prepared(1, (608, 1024), 600, 1000, [0, 0, 0], 1.0,
+                               frames_mode=0, **kw)[1].astype(np.int32)
+    s1 = r.decode_gop_prepared(1, (608, 1024), 600, 1000, [0, 0, 0], 1.0,
+                               frames_mode=1, **kw)[1].astype(np.int32)
+    d = np.abs(s0 - s1)
+    assert d[0].max() == 0                    # key frame: exact
+    assert d.mean() < 1.0                     # non-key: tiny on average
+    assert d.max() <= 48                      # no gross misalignment
+    # drift is sparse: <1% of pixels move by more than 8/255
+    assert (d > 8).mean() < 0.01

@@ -96,3 +96,32 @@ def test_nms_tier_exact_when_enough_keeps():
                                    rtol=1e-5)
         np.testing.assert_array_equal(np.asarray(tier[2]),
                                       np.asarray(full[2]))
+
+
+def test_iou_loss_decode_matches_additive_oracle():
+    """iou_loss mode (multi_proposal-inl.h:152-156): deltas are per-corner
+    additive offsets, not center/log-size transforms."""
+    rng = np.random.default_rng(3)
+    h, w, a = 8, 10, 9
+    anchors = anchor_grid(h, w, 16)
+    fg = rng.uniform(0, 1, (h, w, a)).astype(np.float32)
+    deltas = rng.normal(0, 4.0, (h, w, a * 4)).astype(np.float32)
+    im_info = np.array([h * 16, w * 16, 1.0], np.float32)
+
+    rois, scores, valid = rpn_proposals(
+        jnp.asarray(fg), jnp.asarray(deltas), jnp.asarray(anchors),
+        jnp.asarray(im_info), pre_nms_top_n=400, post_nms_top_n=50,
+        nms_thresh=0.7, min_size=0, iou_loss=True)
+    got_boxes = np.asarray(rois)[np.asarray(valid), 1:]
+    got_scores = np.asarray(scores)[np.asarray(valid)]
+
+    # oracle: additive decode + clip + sort + greedy NMS
+    props = anchors.reshape(-1, 4) + deltas.reshape(-1, 4)
+    props[:, 0::2] = np.clip(props[:, 0::2], 0, im_info[1] - 1)
+    props[:, 1::2] = np.clip(props[:, 1::2], 0, im_info[0] - 1)
+    scores_f = fg.reshape(-1)
+    order = np.argsort(-scores_f, kind="stable")[:400]
+    props, scores_f = props[order], scores_f[order]
+    keep = ref_nms(np.concatenate([props, scores_f[:, None]], 1), 0.7)[:50]
+    np.testing.assert_allclose(got_scores, scores_f[keep], rtol=1e-5)
+    np.testing.assert_allclose(got_boxes, props[keep], rtol=1e-4, atol=1e-3)
