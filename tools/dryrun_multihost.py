@@ -35,6 +35,16 @@ DEV_PER_PROC = 4
 
 def child(pid: int) -> int:
     import jax
+
+    # the environment's TPU plugin force-registers itself over the
+    # JAX_PLATFORMS env var — pin cpu explicitly (as tests/conftest.py
+    # does) or both "hosts" silently attach to the one real chip
+    jax.config.update("jax_platforms", "cpu")
+    # multiprocess CPU needs a cross-process collectives backend; without
+    # it each process builds an isolated single-process client and
+    # jax.process_count() stays 1
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    jax.config.update("jax_num_cpu_devices", DEV_PER_PROC)
     import jax.numpy as jnp
     import numpy as np
 
@@ -53,6 +63,19 @@ def child(pid: int) -> int:
     n_global = jax.device_count()
     assert n_global == N_PROC * DEV_PER_PROC, n_global
     assert len(jax.local_devices()) == DEV_PER_PROC
+
+    # establish the cross-process gloo context with a TRIVIAL collective
+    # before the heavy train-step compile: gloo bootstrap has a ~30s
+    # key-value timeout, and two concurrent multi-minute compiles on a
+    # 1-core host spread the processes' first-collective arrival past it
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    warm = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P("data")),
+        np.ones(DEV_PER_PROC, np.float32), (n_global,))
+    warm_sum = jax.jit(jnp.sum,
+                       out_shardings=NamedSharding(mesh, P()))(warm)
+    assert float(warm_sum) == n_global, float(warm_sum)
 
     H, W = 64, 96
     FH, FW = H // 16, W // 16
@@ -119,28 +142,30 @@ def child(pid: int) -> int:
 
 
 def parent(out: str) -> int:
-    procs = []
+    # children write to FILES, not pipes: both must run concurrently and
+    # a filling pipe buffer would stall one child, tripping gloo's
+    # connect timeout in the other
+    procs, logs = [], []
     for pid in range(N_PROC):
         env = dict(
             os.environ,
-            JAX_PLATFORMS="cpu",
-            XLA_FLAGS=(os.environ.get("XLA_FLAGS", "") +
-                       f" --xla_force_host_platform_device_count="
-                       f"{DEV_PER_PROC}").strip(),
             JAX_COMPILATION_CACHE_DIR="/tmp/jax_cache",
             LSFA_MULTIHOST_CHILD=str(pid),
         )
+        logs.append(open(f"/tmp/lsfa_multihost_{pid}.log", "w+"))
         procs.append(subprocess.Popen(
             [sys.executable, os.path.abspath(__file__)], env=env,
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+            stdout=logs[-1], stderr=subprocess.STDOUT, text=True))
     results = []
     ok = True
     for pid, p in enumerate(procs):
-        stdout, stderr = p.communicate(timeout=1800)
-        line = [l for l in stdout.splitlines() if l.startswith("{")]
+        p.wait(timeout=1800)
+        logs[pid].seek(0)
+        output = logs[pid].read()
+        line = [l for l in output.splitlines() if l.startswith("{")]
         if p.returncode != 0 or not line:
             ok = False
-            print(f"worker {pid} FAILED rc={p.returncode}\n{stderr[-3000:]}",
+            print(f"worker {pid} FAILED rc={p.returncode}\n{output[-3000:]}",
                   file=sys.stderr)
             continue
         results.append(json.loads(line[-1]))
