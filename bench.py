@@ -47,8 +47,10 @@ def _build_detector(batch: int = 1):
     from lsfa_tpu.models.lsfa import lsfa_from_config
 
     cfg = get_default_config()
-    if "--overlap" in sys.argv:
+    if "--overlap" in sys.argv:          # now the default; kept for A/B
         cfg.tpu.sync_per_window = False
+    if "--sync" in sys.argv:             # serialize windows (old runtime)
+        cfg.tpu.sync_per_window = True
     if "--f32" in sys.argv:
         cfg.tpu.mv_res_dtype = "float32"
     model = lsfa_from_config(cfg)

@@ -180,18 +180,24 @@ def get_default_config() -> AttrDict:
     # RPN NMS runs on the top-k tier of pre-NMS boxes (exact when the tier
     # yields >= post_nms keeps — see ops/proposal.py). 0 = strict full set.
     p.nms_tier = 2048
-    # ---- axon-runtime workarounds, config-gated (round-2 bisections) ----
+    # ---- axon-runtime workarounds, config-gated. Round-2 bisected three
+    # faults; round-3 re-bisection on the updated runtime (2026-08-17):
+    # overlapped transfers FIXED, standalone GOP program FIXED, f32
+    # MV/residual inputs STILL FAULT. Defaults reflect that. ----
     # dtype MV/residual payloads ship in. float16 halves tunnel traffic
-    # AND avoids a reproducible axon fault on f32-input eval programs;
-    # set "float32" on sane runtimes for bit-parity with the reference's
-    # f32 chain (bounded-delta test: tests/test_payload_dtype.py).
+    # AND avoids the (still-reproducible) axon fault on f32-input eval
+    # programs; set "float32" on sane runtimes for bit-parity with the
+    # reference's f32 chain (bounded-delta: tests/test_payload_dtype.py).
     p.mv_res_dtype = "float16"
-    # block_until_ready after every dispatch window: overlapped
-    # host->device transfers fault the axon tunnel. False enables
-    # overlapped (double-buffered) staging — ~20% more throughput.
-    p.sync_per_window = True
-    # route GOP eval through the lax.scan program only (the standalone
-    # single-GOP program faults the axon runtime at first execution)
+    # block_until_ready after every dispatch window. False (default)
+    # double-buffers windows through the device — measured +45%
+    # end-to-end (46 -> 67 FPS, decode-bound after). Set True if a
+    # runtime faults on overlapped host->device transfers (the round-2
+    # axon runtime did; the current one does not).
+    p.sync_per_window = False
+    # route single-GOP dispatch through the lax.scan program (one
+    # compiled program for all GOP work; the standalone variant also
+    # runs on the current runtime, but scan is strictly fewer dispatches)
     p.scan_only = True
 
     _finalize(c)
