@@ -260,3 +260,37 @@ def test_feature_cache_persistence(detector):
                       np.zeros((1, H // 16, W // 16, 3), np.float32), flag=2)
     # the cache must NOT be overwritten by a non-key frame
     np.testing.assert_array_equal(np.asarray(det.feat_key), feat_after_key)
+
+
+def test_standalone_gop_program_equals_scan_route(detector):
+    """cfg.tpu.scan_only=False compiles the standalone single-GOP program
+    (_gop_step); its outputs must match the default scan-routed
+    process_gop (the two are alternative lowerings of the same math)."""
+    det = detector
+    rng = np.random.default_rng(11)
+    im_info = np.asarray([[H - 2.0, W - 2.0, 1.0]], np.float32)
+    key = rng.normal(0, 40, (1, H, W, 3)).astype(np.float32)
+    n, s = 3, 4
+    frames = rng.normal(0, 40, (n, H, W, 3)).astype(np.float32)
+    smalls = frames.reshape(n, H // s, s, W // s, s, 3).mean((2, 4))
+    mvs = rng.normal(0, 0.5, (n, H // 16, W // 16, 2)).astype(np.float32)
+    ress = rng.normal(0, 5, (n, H // 16, W // 16, 3)).astype(np.float32)
+
+    det.reset()
+    ref = det.process_gop(key, smalls, mvs, ress, im_info, first=True)
+    ref = [np.asarray(x) for x in ref]
+
+    cfg2 = det.cfg.copy()
+    cfg2.tpu.scan_only = False
+    det2 = StreamingDetector(det.model, det.variables, cfg2, (H, W))
+    got = det2.process_gop(key, smalls, mvs, ress, im_info, first=True)
+    got = [np.asarray(x) for x in got]
+    # ref kd has the scan's leading G axis squeezed to batch form already
+    np.testing.assert_allclose(got[0], ref[0], rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(got[1], ref[1])
+    np.testing.assert_allclose(got[2], ref[2], rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(got[3], ref[3])
+    # and the recurrent state advanced identically
+    np.testing.assert_allclose(np.asarray(det2.feat_key),
+                               np.asarray(det.feat_key), rtol=1e-4,
+                               atol=1e-4)

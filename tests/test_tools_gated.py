@@ -1,0 +1,51 @@
+"""Env-gated integration tests for the heavyweight tools.
+
+These spawn real subprocesses (multi-minute compiles on the 1-core CI
+host), so they run only when LSFA_SLOW_TOOL_TESTS=1 — the tools' results
+are also committed as artifacts (MULTIHOST.json, runs/synth_r03/) from
+real executions.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+slow = pytest.mark.skipif(
+    os.environ.get("LSFA_SLOW_TOOL_TESTS") != "1",
+    reason="set LSFA_SLOW_TOOL_TESTS=1 to run the multi-minute tool tests")
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@slow
+def test_dryrun_multihost_tool(tmp_path):
+    out = str(tmp_path / "mh.json")
+    r = subprocess.run([sys.executable,
+                        os.path.join(ROOT, "tools", "dryrun_multihost.py"),
+                        "--out", out], capture_output=True, text=True,
+                       timeout=1800, cwd=ROOT)
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.load(open(out))
+    assert rep["ok"] and len(rep["workers"]) == 2
+    w0, w1 = rep["workers"]
+    assert w0["loss"] == w1["loss"]
+    assert w0["param_checksum"] == w1["param_checksum"]
+
+
+@slow
+def test_train_synth_full_cpu_smoke(tmp_path):
+    r = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "tools", "train_synth_full.py"),
+         "--cpu-smoke", "--steps", "12", "--videos", "3", "--val-videos",
+         "1", "--frames", "24", "--out", str(tmp_path / "run"),
+         "--data", str(tmp_path / "data"), "--log-every", "4"],
+        capture_output=True, text=True, timeout=1800, cwd=ROOT)
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.load(open(tmp_path / "run" / "report.json"))
+    assert rep["steps"] == 12 and rep["eval_frames"] > 0
+    curves = [json.loads(l)
+              for l in open(tmp_path / "run" / "curves.jsonl")]
+    assert len(curves) >= 2 and all("total_loss" in c for c in curves)

@@ -41,6 +41,11 @@ def main():
     ap.add_argument("--log-every", type=int, default=10)
     ap.add_argument("--cpu-smoke", action="store_true",
                     help="tiny net on CPU (CI smoke of this tool)")
+    ap.add_argument("--resume", action="store_true",
+                    help="continue from the checkpoint in --out (restores "
+                         "params/opt state incl. the LR-schedule step)")
+    ap.add_argument("--tag", default="", help="suffix for report/curves "
+                                              "filenames")
     ap.add_argument("--max-eval-frames", type=int, default=None)
     args = ap.parse_args()
 
@@ -94,8 +99,13 @@ def main():
     cfg.TRAIN.warmup = True
     cfg.TRAIN.warmup_lr = cfg.TRAIN.lr / 10.0
     cfg.TRAIN.warmup_step = min(100, args.steps // 10)
+    if args.resume:
+        # continue from the saved epoch; the restored optimizer step keeps
+        # the LR schedule position, so the x0.1 decay lands where the
+        # TOTAL-step schedule puts it
+        cfg.TRAIN.RESUME = True
 
-    curves_path = os.path.join(args.out, "curves.jsonl")
+    curves_path = os.path.join(args.out, f"curves{args.tag}.jsonl")
     curves_f = open(curves_path, "w")
     pending = []
 
@@ -158,7 +168,7 @@ def main():
                          for c, a in zip(gt_classes, ap_gt)},
         "platform": str(jax.devices()[0].platform),
     }
-    with open(os.path.join(args.out, "report.json"), "w") as f:
+    with open(os.path.join(args.out, f"report{args.tag}.json"), "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps(report))
     return 0
