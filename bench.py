@@ -88,11 +88,12 @@ def run_real(clip: str | None = None) -> dict:
     pv = PreparedVideo(clip, cfg, bucket)
     n_gops = min(N_GOPS, pv.num_frames // 12) if clip != CLIP else N_GOPS
     # Device program: process_gops (lax.scan over GOPs) — the SAME program
-    # the device-only mode uses. The standalone single-GOP program
-    # (_gop_step) reproducibly faults the axon runtime (UNAVAILABLE at its
-    # first execution) while the scan variant runs — so windows of G GOPs
-    # feed the scan program. G=2 balances pipelining against latency.
+    # the device-only mode uses. Windows of G GOPs feed the scan program;
+    # G=2 balances pipelining against latency (override with --gops N
+    # for A/B runs).
     G = 2
+    if "--gops" in sys.argv:
+        G = int(sys.argv[sys.argv.index("--gops") + 1])
 
     def dispatch(win, first, real):
         # slice BEFORE stacking: only the key frame ships full-res (the
@@ -263,6 +264,66 @@ def run_device_only() -> dict:
     }
 
 
+def run_latency() -> dict:
+    """Online-serving metric: per-frame latency through the streaming
+    per-frame programs (flag 0/1 key step, flag 2 non-key step) with a
+    real decoded stream — what a live camera feed would see. Reports the
+    non-key p50 (most frames) plus key p50/p95 and non-key p95."""
+    import time as _t
+
+    import jax
+
+    from lsfa_tpu.data import coviar
+    from lsfa_tpu.data.loader import PreparedVideo
+
+    import os
+    if not os.path.exists(CLIP):
+        coviar.encode_test_video(CLIP, n_frames=N_GOPS * 12, w=CLIP_W,
+                                 h=CLIP_H, gop_size=12, seed=3)
+    cfg, det = _build_detector()
+    bucket = tuple(cfg.tpu.default_bucket)
+    pv = PreparedVideo(CLIP, cfg, bucket)
+    interval = cfg.TEST.KEY_FRAME_INTERVAL
+
+    # warmup both per-frame programs
+    det.reset()
+    data, small, mv, res, info = pv.frame(0)
+    jax.block_until_ready(det.process_frame(data, info, flag=0)[0])
+    data, small, mv, res, info = pv.frame(1)
+    jax.block_until_ready(det.process_frame(
+        None, info, mv, res, flag=2, small=small)[0])
+
+    det.reset()
+    key_ms, cur_ms = [], []
+    n = min(pv.num_frames, 6 * interval)
+    for fid in range(n):
+        flag = det.key_frame_flag(fid)
+        t0 = _t.perf_counter()          # decode included: camera-to-boxes
+        data, small, mv, res, info = pv.frame(fid)
+        if flag in (0, 1):
+            d, v = det.process_frame(data, info, flag=flag)
+        else:
+            d, v = det.process_frame(None, info, mv, res, flag=2,
+                                     small=small)
+        np.asarray(d)                   # force the result to the host
+        dt_ms = (_t.perf_counter() - t0) * 1000
+        (key_ms if flag in (0, 1) else cur_ms).append(dt_ms)
+    key_ms, cur_ms = np.asarray(key_ms), np.asarray(cur_ms)
+    for name, a in (("key", key_ms), ("non-key", cur_ms)):
+        print(f"{name}: p50 {np.percentile(a, 50):.1f} ms  "
+              f"p95 {np.percentile(a, 95):.1f} ms  n={len(a)}",
+              file=sys.stderr, flush=True)
+    return {
+        "metric": "lsfa_online_frame_latency_ms",
+        "value": round(float(np.percentile(cur_ms, 50)), 2),
+        "unit": ("ms/frame online p50 non-key incl. decode (key p50 "
+                 f"{np.percentile(key_ms, 50):.0f} ms, non-key p95 "
+                 f"{np.percentile(cur_ms, 95):.0f} ms, 608x1024)"),
+        # 30 FPS real-time budget = 33.3 ms/frame
+        "vs_baseline": round(33.33 / float(np.percentile(cur_ms, 50)), 3),
+    }
+
+
 def run_multistream(lanes: int) -> dict:
     """Aggregate throughput: `lanes` video streams in lockstep through the
     lane-batched GOP-scan program (one dispatch per G GOPs x lanes frames)
@@ -323,6 +384,8 @@ def main():
         result = run_multistream(lanes)
     elif "--device-only" in sys.argv:
         result = run_device_only()
+    elif "--latency" in sys.argv:
+        result = run_latency()
     else:
         clip = None
         if "--clip" in sys.argv:
