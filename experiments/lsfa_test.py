@@ -14,22 +14,29 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def run_test(cfg, params=None, batch_stats=None, ckpt_dir=None,
              ignore_cache=False, max_frames=None, lanes: int = 1,
-             mesh_shape: int = 0):
+             mesh_shape: int = 0, vis_frames: int = 0,
+             thresh: float | None = None):
     """lanes > 1 batches that many video streams per dispatch (the
     reference's multi-GPU eval sharding, function/test_rcnn.py:69-75,
     as one lane-batched program); mesh_shape > 0 additionally shards the
-    lane axis over that many devices (lanes % mesh_shape == 0)."""
+    lane axis over that many devices (lanes % mesh_shape == 0).
+    vis_frames/thresh mirror the reference launcher's --vis/--thresh
+    (dff_rfcn/test.py:24-39): annotate the first N frames / override the
+    detection score threshold."""
     import jax
 
     from lsfa_tpu.data.dataset import ImageNetVID
     from lsfa_tpu.eval.driver import (eval_videos, eval_videos_lanes,
-                                      evaluate_map)
+                                      eval_videos_rfcn, evaluate_map)
+    from lsfa_tpu.train.driver import is_rfcn
     from lsfa_tpu.train.checkpoint import load_checkpoint
     from lsfa_tpu.train.driver import init_model
     from lsfa_tpu.utils import create_logger
 
     logger, out_dir = create_logger(cfg.output_path, cfg.symbol,
                                     cfg.dataset.test_image_set)
+    if thresh is not None:
+        cfg.TEST.SCORE_THRESH = float(thresh)
     model, init_params, init_bs = init_model(cfg)
     if params is None:
         if ckpt_dir:
@@ -55,7 +62,13 @@ def run_test(cfg, params=None, batch_stats=None, ckpt_dir=None,
             "video_path": ds.video_path(e),
         })
     cache = None if ignore_cache else os.path.join(out_dir, "detections.pkl")
-    if lanes > 1:
+    if is_rfcn(cfg):
+        # single-frame baseline: per-frame full-backbone detection
+        # (rfcn/function/test_rcnn.py role)
+        dets = eval_videos_rfcn(model, variables, cfg, video_roidb,
+                                det_cache=cache, logger=logger,
+                                max_frames=max_frames)
+    elif lanes > 1:
         mesh = None
         if mesh_shape:
             from jax.sharding import Mesh
@@ -72,6 +85,30 @@ def run_test(cfg, params=None, batch_stats=None, ckpt_dir=None,
         dets = eval_videos(model, variables, cfg, video_roidb,
                            det_cache=cache, logger=logger,
                            max_frames=max_frames)
+    if vis_frames:
+        import numpy as np
+        from PIL import Image
+
+        from lsfa_tpu.utils.vis import draw_detections
+
+        vis_dir = os.path.join(out_dir, "vis")
+        os.makedirs(vis_dir, exist_ok=True)
+        gidx = 0
+        written = 0
+        for rec in video_roidb:
+            for fid in range(rec["frame_seg_len"]):
+                if written >= vis_frames:
+                    break
+                path = rec["pattern"] % fid
+                if gidx in dets and os.path.exists(path):
+                    im = np.asarray(Image.open(path).convert("RGB"))
+                    draw_detections(im, dets[gidx]).save(
+                        os.path.join(vis_dir, f"{gidx:06d}.jpg"))
+                    written += 1
+                gidx += 1
+            if written >= vis_frames:
+                break
+        logger.info(f"wrote {written} annotated frames to {vis_dir}")
     return evaluate_map(dets, ds, video_roidb, logger=logger)
 
 
@@ -85,6 +122,10 @@ def main():
                     help="video streams batched per dispatch (inference DP)")
     ap.add_argument("--mesh", type=int, default=0,
                     help="shard the lane axis over this many devices")
+    ap.add_argument("--vis", type=int, default=0, metavar="N",
+                    help="write the first N annotated frames")
+    ap.add_argument("--thresh", type=float, default=None,
+                    help="detection score threshold override")
     args = ap.parse_args()
 
     from lsfa_tpu.config import load_config
@@ -92,7 +133,7 @@ def main():
     cfg = load_config(args.cfg)
     run_test(cfg, ckpt_dir=args.ckpt, ignore_cache=args.ignore_cache,
              max_frames=args.max_frames, lanes=args.lanes,
-             mesh_shape=args.mesh)
+             mesh_shape=args.mesh, vis_frames=args.vis, thresh=args.thresh)
 
 
 if __name__ == "__main__":

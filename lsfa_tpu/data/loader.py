@@ -345,11 +345,16 @@ class PreparedVideo:
     MV/residual grids) — ~10x the Python preprocess chain on one core.
     Frames are served from a one-GOP cache."""
 
-    def __init__(self, video_path: str, cfg, bucket_hw):
+    def __init__(self, video_path: str, cfg, bucket_hw,
+                 frames_mode: int | None = None):
+        """frames_mode: override the full-res policy — 0 ships every
+        frame full-res (required by single-frame detectors like the RFCN
+        baseline), 1 key frames only; None picks by the key schedule."""
         self.reader = coviar.VideoReader(video_path)
         self.cfg = cfg
         self.bucket_hw = tuple(bucket_hw)
         self.num_frames = self.reader.num_frames
+        self.frames_mode = frames_mode
         self._gop = -1
         self._cache = None
 
@@ -361,7 +366,9 @@ class PreparedVideo:
             # the GOP size — then only the key frame needs a full-res
             # resize (frames_mode=1 skips 11/12 of the sws work; non-key
             # frames ship small+MV+residual only)
-            mode = 1 if cfg.TEST.KEY_FRAME_INTERVAL % GOP_SIZE == 0 else 0
+            mode = self.frames_mode
+            if mode is None:
+                mode = 1 if cfg.TEST.KEY_FRAME_INTERVAL % GOP_SIZE == 0 else 0
             self._cache = self.reader.decode_gop_prepared(
                 gop_idx, self.bucket_hw, target, max_size,
                 cfg.network.PIXEL_MEANS, cfg.network.PIXEL_SCALE,
@@ -395,11 +402,15 @@ class EvalLoader:
     """Frame-by-frame video iterator with the key-frame schedule
     (core/loader.py:24-141). Yields dicts the StreamingDetector consumes."""
 
-    def __init__(self, video_roidb, cfg, bucket_hw=None):
+    def __init__(self, video_roidb, cfg, bucket_hw=None,
+                 full_frames: bool = False):
+        """full_frames: every frame ships full-res `data` (single-frame
+        detectors); default lets the prepared path skip non-key resizes."""
         self.roidb = video_roidb          # one rec per video (seg_len frames)
         self.cfg = cfg
         self.bucket_hw = bucket_hw or tuple(cfg.tpu.default_bucket)
         self.key_interval = cfg.TEST.KEY_FRAME_INTERVAL
+        self.full_frames = full_frames
 
     def __iter__(self):
         cfg = self.cfg
@@ -411,7 +422,9 @@ class EvalLoader:
             n = rec["frame_seg_len"]
             video = rec.get("video_path")
             use_video = video is not None and coviar.available()
-            prep = (PreparedVideo(video, cfg, self.bucket_hw)
+            prep = (PreparedVideo(video, cfg, self.bucket_hw,
+                                  frames_mode=0 if self.full_frames
+                                  else None)
                     if use_video and prepared_available() else None)
             for fid in range(n):
                 if fid == 0:

@@ -211,6 +211,57 @@ def eval_videos(model, variables, cfg, video_roidb, det_cache: str | None = None
     return detections
 
 
+def eval_videos_rfcn(model, variables, cfg, video_roidb,
+                     det_cache: str | None = None, logger=None,
+                     max_frames: int | None = None):
+    """Single-frame R-FCN baseline mAP path (the reference rfcn/ package's
+    test_rcnn + pred_eval, rfcn/core/tester.py): every frame runs the
+    full backbone — no key-frame state, no MV/residual. Returns the same
+    {global_frame_idx -> dets} mapping as eval_videos."""
+    from lsfa_tpu.data.prefetch import DevicePrefetcher
+    from lsfa_tpu.eval.rfcn_tester import RFCNDetector
+    from lsfa_tpu.eval.tester import collect_detections
+
+    log = logger.info if logger else print
+    if det_cache and os.path.exists(det_cache):
+        with open(det_cache, "rb") as f:
+            log(f"loaded detection cache {det_cache}")
+            return pickle.load(f)
+
+    base = {}
+    acc = 0
+    for rec in video_roidb:
+        base[id(rec)] = acc
+        acc += rec["frame_seg_len"]
+
+    timer = PhaseTimer()
+    detections = {}
+    frame_counter = 0
+    for bucket, recs in group_videos_by_bucket(video_roidb, cfg).items():
+        log(f"bucket {bucket}: {len(recs)} videos (rfcn per-frame)")
+        det = RFCNDetector(model, variables, cfg, bucket)
+        loader = DevicePrefetcher(
+            EvalLoader(recs, cfg, bucket_hw=bucket, full_frames=True),
+            depth=2)
+        for item in loader:
+            with timer.phase("net"):
+                d, v = det.detect(item["data"], item["im_info"])
+            with timer.phase("post"):
+                rec = recs[item["video_index"]]
+                gidx = base[id(rec)] + item["frame_id"]
+                detections[gidx] = collect_detections(d, v)
+            timer.tick()
+            frame_counter += 1
+            if max_frames is not None and frame_counter >= max_frames:
+                break
+    log(timer.summary())
+    if det_cache:
+        os.makedirs(os.path.dirname(det_cache) or ".", exist_ok=True)
+        with open(det_cache, "wb") as f:
+            pickle.dump(detections, f, protocol=pickle.HIGHEST_PROTOCOL)
+    return detections
+
+
 def eval_videos_lanes(model, variables, cfg, video_roidb, lanes: int,
                       det_cache: str | None = None, logger=None,
                       mesh=None):

@@ -244,3 +244,27 @@ def test_bucket_picker_orientation():
     # unfittable raises a clear error
     with pytest.raises(ValueError):
         pick_bucket(100, 100, [(32, 32)], 600, 1000)
+
+
+def test_rfcn_launcher_path(two_video_env):
+    """The single-frame RFCN baseline must produce a real mAP through the
+    SAME launcher (run_test routes by symbol name) — per-frame
+    full-backbone detection, full_frames prepared decode, --vis output.
+    Round-3 gap: eval_videos assumed the LSFA streaming detector."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from experiments.lsfa_test import run_test
+
+    root, dpath, vids = two_video_env
+    cfg = load_config("configs/rfcn_tiny_smoke.yaml")
+    cfg.dataset.root_path = root
+    cfg.dataset.dataset_path = dpath
+    cfg.output_path = str(dpath) + "/out_rfcn"
+    mean_ap, ap = run_test(cfg, ignore_cache=True, vis_frames=2)
+    assert np.isfinite(mean_ap) and 0.0 <= mean_ap <= 1.0
+    import glob
+
+    vis = glob.glob(os.path.join(cfg.output_path, "**", "vis", "*.jpg"),
+                    recursive=True)
+    assert len(vis) == 2
