@@ -53,6 +53,8 @@ def _build_detector(batch: int = 1):
         cfg.tpu.sync_per_window = True
     if "--f32" in sys.argv:
         cfg.tpu.mv_res_dtype = "float32"
+    if "--bgr8" in sys.argv:      # A/B: packed-BGR payloads (i420 default)
+        cfg.tpu.frame_payload = "bgr8"
     model = lsfa_from_config(cfg)
     h, w = cfg.tpu.default_bucket
     fh, fw = h // 16, w // 16

@@ -199,6 +199,14 @@ def get_default_config() -> AttrDict:
     # compiled program for all GOP work; the standalone variant also
     # runs on the current runtime, but scan is strictly fewer dispatches)
     p.scan_only = True
+    # Wire format for key-frame/small payloads on the prepared eval path:
+    # "bgr8" = packed BGR24 (bit-parity with the reference's cv2 chain);
+    # "i420" = planar YUV420 — HALF the host->device bytes (the tunnel/
+    # PCIe serialization is host CPU time), converted to normalized RGB
+    # on device (BT.601, models/lsfa.py preprocess). Detection deltas are
+    # bounded by tests/test_payload_fmt.py. Applies when the key schedule
+    # allows key-only decode (frames_mode=1); other paths stay bgr8.
+    p.frame_payload = "i420"
 
     _finalize(c)
     return c

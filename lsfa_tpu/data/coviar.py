@@ -78,6 +78,16 @@ def _lib():
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_float), ctypes.c_int]
+    if hasattr(lib, "coviar_decode_gop_prepared_fmt"):
+        lib.coviar_decode_gop_prepared_fmt.restype = ctypes.c_int
+        lib.coviar_decode_gop_prepared_fmt.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_float, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int]
     if hasattr(lib, "coviar_decode_train_sample"):
         lib.coviar_decode_train_sample.restype = ctypes.c_int
         lib.coviar_decode_train_sample.argtypes = [
@@ -166,7 +176,8 @@ class VideoReader:
                             pixel_scale: float = 1.0, stride: int = 16,
                             small_factor: int = 4,
                             legacy_swap: bool = False,
-                            frames_mode: int = 0):
+                            frames_mode: int = 0,
+                            payload_fmt: str = "bgr8"):
         """Decode one GOP straight to DEVICE-READY payloads (the C++ data
         plane — ~30x faster than the numpy/PIL chain on one core):
 
@@ -175,6 +186,11 @@ class VideoReader:
                  mv (N,fh,fw,2) f32 warp-ready (negated, feature-cell units),
                  res (N,fh,fw,3) f32 transformed residual grid,
                  im_info (3,) f32 [scaled_h, scaled_w, im_scale]).
+
+        payload_fmt "i420" ships frames as (N, bh*3/2, bw, 1) and smalls
+        as (N, sbh*3/2, sbw, 1) planar YUV420 — HALF the host->device
+        bytes; the model's preprocess converts YUV->normalized RGB on
+        device (dispatch on the trailing dim). Requires frames_mode=1.
 
         Semantics match the reference cv2.INTER_LINEAR preprocessing
         (lib/utils/image.py:202-308); legacy_swap reproduces its in-place
@@ -185,30 +201,43 @@ class VideoReader:
             raise RuntimeError("libcoviar_tpu.so too old: rebuild native/")
         bh, bw = bucket_hw
         fh, fw = bh // stride, bw // stride
+        sbh, sbw = bh // small_factor, bw // small_factor
+        fmt = {"bgr8": 0, "i420": 1}[payload_fmt]
+        if fmt == 1 and not hasattr(lib, "coviar_decode_gop_prepared_fmt"):
+            raise RuntimeError("libcoviar_tpu.so too old: rebuild native/")
         with self._lock:
             n = self.gop_frames(gop_idx)
             if n <= 0:
                 raise IndexError(f"bad gop {gop_idx} for {self.path}")
             # mode 1: non-key slots stay zero (calloc pages — no fill cost)
             alloc = np.zeros if frames_mode == 1 else np.empty
-            frames = alloc((n, bh, bw, 3), np.uint8)
-            smalls = np.empty((n, bh // small_factor, bw // small_factor, 3),
-                              np.uint8)
+            if fmt == 1:
+                frames = alloc((n, bh * 3 // 2, bw, 1), np.uint8)
+                smalls = np.empty((n, sbh * 3 // 2, sbw, 1), np.uint8)
+            else:
+                frames = alloc((n, bh, bw, 3), np.uint8)
+                smalls = np.empty((n, sbh, sbw, 3), np.uint8)
             mv = np.empty((n, fh, fw, 2), np.float32)
             res = np.empty((n, fh, fw, 3), np.float32)
             info = np.empty((3,), np.float32)
             means = np.ascontiguousarray(pixel_means_bgr, np.float32)
-            got = lib.coviar_decode_gop_prepared_mode(
+            args = [
                 self._h, gop_idx, target_size, max_size, bh, bw, stride,
                 small_factor, means.ctypes.data_as(
                     ctypes.POINTER(ctypes.c_float)),
                 ctypes.c_float(pixel_scale), int(legacy_swap),
-                int(frames_mode),
+                int(frames_mode)]
+            tail = [
                 frames.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                 smalls.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                 mv.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
                 res.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-                info.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n)
+                info.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n]
+            if fmt == 1:
+                got = lib.coviar_decode_gop_prepared_fmt(
+                    *args, fmt, *tail)
+            else:
+                got = lib.coviar_decode_gop_prepared_mode(*args, *tail)
             if got != n:
                 raise IOError(f"prepared-decoded {got}/{n} of gop {gop_idx}")
             return frames, smalls, mv, res, info

@@ -369,6 +369,11 @@ class PreparedVideo:
             mode = self.frames_mode
             if mode is None:
                 mode = 1 if cfg.TEST.KEY_FRAME_INTERVAL % GOP_SIZE == 0 else 0
+            # i420 wire format halves shipped bytes but only exists for
+            # the key-only decode mode (full-frame consumers need BGR)
+            fmt = getattr(cfg.tpu, "frame_payload", "bgr8")
+            if mode != 1:
+                fmt = "bgr8"
             self._cache = self.reader.decode_gop_prepared(
                 gop_idx, self.bucket_hw, target, max_size,
                 cfg.network.PIXEL_MEANS, cfg.network.PIXEL_SCALE,
@@ -376,7 +381,7 @@ class PreparedVideo:
                 small_factor=small_pool_factor(cfg.network.small_net_stride),
                 legacy_swap=bool(getattr(cfg.network,
                                          "res_diff_legacy_swap", False)),
-                frames_mode=mode)
+                frames_mode=mode, payload_fmt=fmt)
             self._gop = gop_idx
         return self._cache
 

@@ -127,12 +127,44 @@ class LSFA(nn.Module):
     # ------- building blocks -------
 
     def preprocess(self, img_bgr):
-        """Raw resized BGR frame (uint8/float NHWC) -> normalized RGB f32.
-        The device-side replacement for lib/utils/image.py:296-308; hosts
-        ship uint8 (4x less tunnel/PCIe traffic)."""
+        """Raw resized frame -> normalized RGB f32, on device.
+
+        Two wire formats, dispatched statically on the trailing dim:
+          (..., H, W, 3)     packed BGR u8/float — the device-side
+                             replacement for lib/utils/image.py:296-308;
+          (..., H*3/2, W, 1) planar I420 u8 (the C data plane's
+                             payload_fmt="i420") — HALF the shipped
+                             bytes; BT.601 limited-range YUV->RGB happens
+                             here, fused into the normalization.
+        Hosts ship uint8 either way (4x less tunnel/PCIe traffic than
+        f32)."""
+        if img_bgr.shape[-1] == 1:
+            return self._preprocess_i420(img_bgr[..., 0])
         x = img_bgr.astype(jnp.float32)[..., ::-1]
         means = jnp.asarray(self.pixel_means, jnp.float32)[::-1]
         return (x - means) * self.pixel_scale
+
+    def _preprocess_i420(self, packed):
+        """Planar I420 (..., H*3/2, W) u8 -> normalized RGB f32 (..., H,
+        W, 3). Matches swscale's MPEG-4 default (BT.601 limited range,
+        nearest chroma upsampling); the C plane pads with Y=16 U=V=128 so
+        the pad region converts to EXACT zeros, same as the BGR path."""
+        h = packed.shape[-2] * 2 // 3
+        w = packed.shape[-1]
+        lead = packed.shape[:-2]
+        y = packed[..., :h, :].astype(jnp.float32)
+        u = packed[..., h:h + h // 4, :].reshape(lead + (h // 2, w // 2))
+        v = packed[..., h + h // 4:, :].reshape(lead + (h // 2, w // 2))
+        uv = jnp.stack([u, v], axis=-1).astype(jnp.float32) - 128.0
+        uv = jnp.repeat(jnp.repeat(uv, 2, axis=-3), 2, axis=-2)
+        yf = (y - 16.0) * 1.164384
+        cb, cr = uv[..., 0], uv[..., 1]
+        r = yf + 1.596027 * cr
+        g = yf - 0.391762 * cb - 0.812968 * cr
+        b = yf + 2.017232 * cb
+        rgb = jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 255.0)
+        means = jnp.asarray(self.pixel_means, jnp.float32)[::-1]
+        return (rgb - means) * self.pixel_scale
 
     def conv_feat(self, ims, train: bool = False):
         """Backbone + shared dilated 3x3 -> the 1024-ch DFF feature

@@ -489,13 +489,23 @@ COVIAR_API int coviar_decode_gop(void* hp, int gop_idx, uint8_t* bgr,
 // resizes. Only the key frame ever ships full-res to the device
 // (forward_cur consumes small+MV+residual only), so mode 1 is the
 // production eval path; mode 0 keeps exact box-mean smalls for tests.
-COVIAR_API int coviar_decode_gop_prepared_mode(
-    void* hp, int gop_idx, int target_size, int max_size, int bh, int bw,
+// payload_fmt: 0 = packed BGR24 (frames n*(bh*bw*3), smalls
+// n*(sbh*sbw*3)); 1 = planar I420 — frames n*(bh*3/2*bw), smalls
+// n*(sbh*3/2*sbw), each buffer the standard Y + U + V plane layout.
+// I420 halves the bytes shipped over the host->device link (the tunnel
+// serialization is host CPU time and byte-proportional); the device
+// converts YUV->normalized RGB inside the jitted program (BT.601 limited
+// range, matching swscale's MPEG-4 default). Padding is written as
+// Y=16, U=V=128 so the device conversion yields EXACT zeros in the pad
+// region (same as the BGR path's zero padding). fmt 1 requires
+// frames_mode=1 and even plane dims; smalls are produced for every slot
+// (incl. the key) via the direct SWS_AREA path.
+static int decode_gop_prepared_impl(
+    Handle* h, int gop_idx, int target_size, int max_size, int bh, int bw,
     int stride, int small_factor, const float* pixel_means_bgr,
-    float pixel_scale, int legacy_swap, int frames_mode, uint8_t* frames,
-    uint8_t* smalls, float* mv_out, float* res_out, float* im_info,
-    int max_frames) {
-    Handle* h = (Handle*)hp;
+    float pixel_scale, int legacy_swap, int frames_mode, int payload_fmt,
+    uint8_t* frames, uint8_t* smalls, float* mv_out, float* res_out,
+    float* im_info, int max_frames) {
     const int w = h->width, hgt = h->height;
     const size_t npx = (size_t)w * hgt;
     double s = resize_scale(hgt, w, target_size, max_size);
@@ -508,11 +518,41 @@ COVIAR_API int coviar_decode_gop_prepared_mode(
         return -6;   // the small-grid buffer layout assumes divisibility
     }
     const int sbh = bh / small_factor, sbw = bw / small_factor;
+    if (payload_fmt == 1) {
+        if (frames_mode != 1) {
+            set_err(h, "i420 payload requires frames_mode=1");
+            return -7;
+        }
+        if (bh % 2 || bw % 2 || sbh % 2 || sbw % 2) {
+            set_err(h, "i420 payload requires even plane dims");
+            return -8;
+        }
+    }
     if (im_info) { im_info[0] = (float)sh; im_info[1] = (float)sw;
                    im_info[2] = (float)s; }
 
     std::vector<float> fbuf(npx * 3);            // float staging (mv/res)
     std::vector<int32_t> res_full(npx * 3);
+
+    // swscale may write even-aligned luma/chroma widths (one column past
+    // odd content sizes); restore the pad bytes beyond the content box so
+    // the device conversion yields exact zeros everywhere outside (ch,cw)
+    auto repad_i420 = [](uint8_t* Y, int pbh, int pbw, int ch, int cw) {
+        for (int y2 = 0; y2 < ch && cw < pbw; y2++)
+            std::memset(Y + (size_t)y2 * pbw + cw, 16, pbw - cw);
+        for (int y2 = ch; y2 < pbh; y2++)
+            std::memset(Y + (size_t)y2 * pbw, 16, pbw);
+        uint8_t* U = Y + (size_t)pbh * pbw;
+        uint8_t* V = U + (size_t)(pbh / 2) * (pbw / 2);
+        const int cbh = pbh / 2, cbw = pbw / 2;
+        const int cch = (ch + 1) / 2, ccw = (cw + 1) / 2;
+        for (uint8_t* P : {U, V}) {
+            for (int y2 = 0; y2 < cch && ccw < cbw; y2++)
+                std::memset(P + (size_t)y2 * cbw + ccw, 128, cbw - ccw);
+            for (int y2 = cch; y2 < cbh; y2++)
+                std::memset(P + (size_t)y2 * cbw, 128, cbw);
+        }
+    };
 
     SwsContext* sws = nullptr;                   // reused across frames
     SwsContext* sws_small = nullptr;
@@ -520,7 +560,50 @@ COVIAR_API int coviar_decode_gop_prepared_mode(
                     const int32_t* acc) {
         // --- frame: resize + pad in ONE sws pass (dst stride = bucket) ---
         bool want_full = frames && (frames_mode == 0 || rel == 0);
-        if (want_full) {
+        if (payload_fmt == 1) {
+            // planar I420 payloads: resize + BGR->YUV convert in one
+            // sws pass, writing straight into the padded plane buffers.
+            if (want_full) {
+                uint8_t* Y = frames + (size_t)rel * (bh * 3 / 2) * bw;
+                uint8_t* U = Y + (size_t)bh * bw;
+                uint8_t* V = U + (size_t)(bh / 2) * (bw / 2);
+                std::memset(Y, 16, (size_t)bh * bw);
+                std::memset(U, 128, (size_t)(bh / 2) * (bw / 2));
+                std::memset(V, 128, (size_t)(bh / 2) * (bw / 2));
+                if (!sws)
+                    sws = sws_getContext(w, hgt, AV_PIX_FMT_BGR24, sw, sh,
+                                         AV_PIX_FMT_YUV420P, SWS_BILINEAR,
+                                         nullptr, nullptr, nullptr);
+                const uint8_t* src[1] = {cur};
+                int src_stride[1] = {3 * w};
+                uint8_t* dst[3] = {Y, U, V};
+                int dst_stride[3] = {bw, bw / 2, bw / 2};
+                sws_scale(sws, src, src_stride, 0, hgt, dst, dst_stride);
+                repad_i420(Y, bh, bw, sh, sw);
+            }
+            if (smalls) {
+                uint8_t* Y = smalls + (size_t)rel * (sbh * 3 / 2) * sbw;
+                uint8_t* U = Y + (size_t)sbh * sbw;
+                uint8_t* V = U + (size_t)(sbh / 2) * (sbw / 2);
+                std::memset(Y, 16, (size_t)sbh * sbw);
+                std::memset(U, 128, (size_t)(sbh / 2) * (sbw / 2));
+                std::memset(V, 128, (size_t)(sbh / 2) * (sbw / 2));
+                const int ssh = (sh + small_factor - 1) / small_factor;
+                const int ssw = (sw + small_factor - 1) / small_factor;
+                if (!sws_small)
+                    sws_small = sws_getContext(w, hgt, AV_PIX_FMT_BGR24,
+                                               ssw, ssh, AV_PIX_FMT_YUV420P,
+                                               SWS_AREA, nullptr, nullptr,
+                                               nullptr);
+                const uint8_t* src[1] = {cur};
+                int src_stride[1] = {3 * w};
+                uint8_t* dst[3] = {Y, U, V};
+                int dst_stride[3] = {sbw, sbw / 2, sbw / 2};
+                sws_scale(sws_small, src, src_stride, 0, hgt, dst,
+                          dst_stride);
+                repad_i420(Y, sbh, sbw, ssh, ssw);
+            }
+        } else if (want_full) {
             uint8_t* dst_frame = frames + (size_t)rel * bh * bw * 3;
             std::memset(dst_frame, 0, (size_t)bh * bw * 3);
             if (!sws)
@@ -634,6 +717,33 @@ COVIAR_API int coviar_decode_gop_prepared_mode(
     if (sws) sws_freeContext(sws);
     if (sws_small) sws_freeContext(sws_small);
     return got;
+}
+
+COVIAR_API int coviar_decode_gop_prepared_mode(
+    void* hp, int gop_idx, int target_size, int max_size, int bh, int bw,
+    int stride, int small_factor, const float* pixel_means_bgr,
+    float pixel_scale, int legacy_swap, int frames_mode, uint8_t* frames,
+    uint8_t* smalls, float* mv_out, float* res_out, float* im_info,
+    int max_frames) {
+    return decode_gop_prepared_impl(
+        (Handle*)hp, gop_idx, target_size, max_size, bh, bw, stride,
+        small_factor, pixel_means_bgr, pixel_scale, legacy_swap,
+        frames_mode, /*payload_fmt=*/0, frames, smalls, mv_out, res_out,
+        im_info, max_frames);
+}
+
+// payload_fmt-aware entry (see decode_gop_prepared_impl docs above).
+COVIAR_API int coviar_decode_gop_prepared_fmt(
+    void* hp, int gop_idx, int target_size, int max_size, int bh, int bw,
+    int stride, int small_factor, const float* pixel_means_bgr,
+    float pixel_scale, int legacy_swap, int frames_mode, int payload_fmt,
+    uint8_t* frames, uint8_t* smalls, float* mv_out, float* res_out,
+    float* im_info, int max_frames) {
+    return decode_gop_prepared_impl(
+        (Handle*)hp, gop_idx, target_size, max_size, bh, bw, stride,
+        small_factor, pixel_means_bgr, pixel_scale, legacy_swap,
+        frames_mode, payload_fmt, frames, smalls, mv_out, res_out,
+        im_info, max_frames);
 }
 
 // ---- training-sample fast path --------------------------------------------
