@@ -216,9 +216,16 @@ double resize_scale(int h, int w, int target, int max_size) {
     return s;
 }
 
-// cv2-style bilinear sample of an HxWxC float field at (y, x) in pixel
+// cv2-style bilinear sample of an HxWxC field at (y, x) in pixel
 // coordinates (already includes the half-pixel shift), edge-clamped.
-inline void bilinear_at(const float* f, int h, int w, int c,
+// `get(y, x, out)` yields the C source values at an integer pixel — the
+// field is never materialized: MV/residual grids read only ~40K of the
+// ~550K source pixels, so lazy evaluation skips >90% of the int->float
+// conversion (and the whole full-res residual pass) with BIT-IDENTICAL
+// arithmetic (the getter returns exactly the float the staging buffer
+// used to hold).
+template <class Get>
+inline void bilinear_at(const Get& get, int h, int w, int c,
                         double y, double x, float* out) {
     if (y < 0) y = 0;
     if (x < 0) x = 0;
@@ -229,10 +236,11 @@ inline void bilinear_at(const float* f, int h, int w, int c,
     double fy = y - y0, fx = x - x0;
     if (fy < 0) fy = 0; if (fy > 1) fy = 1;
     if (fx < 0) fx = 0; if (fx > 1) fx = 1;
-    const float* p00 = f + ((size_t)y0 * w + x0) * c;
-    const float* p01 = f + ((size_t)y0 * w + x1) * c;
-    const float* p10 = f + ((size_t)y1 * w + x0) * c;
-    const float* p11 = f + ((size_t)y1 * w + x1) * c;
+    float p00[4], p01[4], p10[4], p11[4];
+    get(y0, x0, p00);
+    get(y0, x1, p01);
+    get(y1, x0, p10);
+    get(y1, x1, p11);
     for (int k = 0; k < c; k++)
         out[k] = (float)((1 - fy) * ((1 - fx) * p00[k] + fx * p01[k]) +
                          fy * ((1 - fx) * p10[k] + fx * p11[k]));
@@ -265,7 +273,9 @@ void fill_const_res_grid(float* dst, int gh, int gw, int fh, int fw,
 // out is an (fh, fw, c) BUCKET grid; only the (gh, gw) cells covering the
 // scaled image carry values (gh = ceil(sh/stride) etc.), the rest is the
 // bucket zero-padding (pad_to_bucket in the Python pipeline).
-void mv_res_to_grid(const float* src, int h, int w, int c,
+// src is a lazy getter (see bilinear_at).
+template <class Get>
+void mv_res_to_grid(const Get& src, int h, int w, int c,
                     int sh, int sw,
                     int gh, int gw, int fh, int fw, int stride, float* out) {
     std::memset(out, 0, sizeof(float) * (size_t)fh * fw * c);
@@ -507,7 +517,6 @@ static int decode_gop_prepared_impl(
     uint8_t* frames, uint8_t* smalls, float* mv_out, float* res_out,
     float* im_info, int max_frames) {
     const int w = h->width, hgt = h->height;
-    const size_t npx = (size_t)w * hgt;
     double s = resize_scale(hgt, w, target_size, max_size);
     const int sh = (int)lrint(hgt * s), sw = (int)lrint(w * s);
     if (sh > bh || sw > bw) { set_err(h, "bucket too small"); return -3; }
@@ -530,9 +539,6 @@ static int decode_gop_prepared_impl(
     }
     if (im_info) { im_info[0] = (float)sh; im_info[1] = (float)sw;
                    im_info[2] = (float)s; }
-
-    std::vector<float> fbuf(npx * 3);            // float staging (mv/res)
-    std::vector<int32_t> res_full(npx * 3);
 
     // swscale may write even-aligned luma/chroma widths (one column past
     // odd content sizes); restore the pad bytes beyond the content box so
@@ -661,9 +667,12 @@ static int decode_gop_prepared_impl(
             if (rel == 0) {
                 std::memset(dst, 0, sizeof(float) * fh * fw * 2);
             } else {
-                for (size_t i = 0; i < npx * 2; i++)
-                    fbuf[i] = (float)(-acc[i]);
-                mv_res_to_grid(fbuf.data(), hgt, w, 2, sh, sw,
+                auto mv_get = [&](int y, int x, float* o) {
+                    const int32_t* p = acc + ((size_t)y * w + x) * 2;
+                    o[0] = (float)(-p[0]);
+                    o[1] = (float)(-p[1]);
+                };
+                mv_res_to_grid(mv_get, hgt, w, 2, sh, sw,
                                gh, gw, fh, fw, stride, dst);
                 const float mscale = (float)(s / stride);
                 for (int i = 0; i < fh * fw * 2; i++) dst[i] *= mscale;
@@ -682,11 +691,21 @@ static int decode_gop_prepared_impl(
                 fill_const_res_grid(dst, gh, gw, fh, fw, pixel_means_bgr,
                                     pixel_scale, legacy_swap);
             } else {
-                compute_residual(cur, key, acc, res_full.data(), w, hgt);
-                for (size_t i = 0; i < npx * 3; i++)
-                    fbuf[i] = (float)res_full[i];
+                // lazy residual: res(p) = cur(p) - key(p - acc(p)) computed
+                // only at the ~40K source pixels the grid taps actually
+                // read (compute_residual semantics, bit-identical floats)
+                auto res_get = [&](int y, int x, float* o) {
+                    int i = y * w + x;
+                    int sx = clampi(x - acc[i * 2], 0, w - 1);
+                    int sy = clampi(y - acc[i * 2 + 1], 0, hgt - 1);
+                    const uint8_t* cp = cur + (size_t)i * 3;
+                    const uint8_t* kp = key + ((size_t)sy * w + sx) * 3;
+                    o[0] = (float)((int32_t)cp[0] - (int32_t)kp[0]);
+                    o[1] = (float)((int32_t)cp[1] - (int32_t)kp[1]);
+                    o[2] = (float)((int32_t)cp[2] - (int32_t)kp[2]);
+                };
                 std::vector<float> grid((size_t)fh * fw * 3);
-                mv_res_to_grid(fbuf.data(), hgt, w, 3, sh, sw,
+                mv_res_to_grid(res_get, hgt, w, 3, sh, sw,
                                gh, gw, fh, fw, stride, grid.data());
                 std::memset(dst, 0, sizeof(float) * (size_t)fh * fw * 3);
                 // out_i = (in_{2-i} - mean_{2-i}) * scale, means BGR-ordered
@@ -821,8 +840,6 @@ COVIAR_API int coviar_decode_train_sample(
     }
 
     // current GOP: ref (rel 0) + cur (rel pos) + cur's acc MV / residual
-    std::vector<int32_t> res_full(npx * 3);
-    std::vector<float> fbuf(npx * 3);
     bool got_cur = false, got_ref = false;
     int rc = decode_gop_core(
         h, gop, pos + 1, true,
@@ -838,17 +855,15 @@ COVIAR_API int coviar_decode_train_sample(
                     std::memset(mv_out, 0, sizeof(float) * fh * fw * 2);
                 } else {
                     // python loader: mv = -acc, then flip => cols mirrored
-                    // and x re-negated (image.py:54 + loader flip)
-                    for (int y = 0; y < hgt; y++)
-                        for (int x = 0; x < w; x++) {
-                            int xs = flip ? (w - 1 - x) : x;
-                            const int32_t* a =
-                                acc + ((size_t)y * w + xs) * 2;
-                            float* f = fbuf.data() + ((size_t)y * w + x) * 2;
-                            f[0] = flip ? (float)a[0] : -(float)a[0];
-                            f[1] = -(float)a[1];
-                        }
-                    mv_res_to_grid(fbuf.data(), hgt, w, 2, sh, sw,
+                    // and x re-negated (image.py:54 + loader flip);
+                    // evaluated lazily at the grid taps (see bilinear_at)
+                    auto mv_get = [&](int y, int x, float* o) {
+                        int xs = flip ? (w - 1 - x) : x;
+                        const int32_t* a = acc + ((size_t)y * w + xs) * 2;
+                        o[0] = flip ? (float)a[0] : -(float)a[0];
+                        o[1] = -(float)a[1];
+                    };
+                    mv_res_to_grid(mv_get, hgt, w, 2, sh, sw,
                                    gh, gw, fh, fw, stride, mv_out);
                     const float mscale = (float)(s / stride);
                     for (int i = 0; i < fh * fw * 2; i++)
@@ -861,18 +876,21 @@ COVIAR_API int coviar_decode_train_sample(
                                         pixel_means_bgr, pixel_scale,
                                         legacy_swap);
                 } else {
-                    compute_residual(cur, key, acc, res_full.data(), w, hgt);
-                    for (int y = 0; y < hgt; y++)
-                        for (int x = 0; x < w; x++) {
-                            int xs = flip ? (w - 1 - x) : x;
-                            const int32_t* r =
-                                res_full.data() + ((size_t)y * w + xs) * 3;
-                            float* f = fbuf.data() + ((size_t)y * w + x) * 3;
-                            f[0] = (float)r[0]; f[1] = (float)r[1];
-                            f[2] = (float)r[2];
-                        }
+                    // lazy flipped residual (compute_residual semantics at
+                    // the mirrored column, bit-identical floats)
+                    auto res_get = [&](int y, int x, float* o) {
+                        int xs = flip ? (w - 1 - x) : x;
+                        int i = y * w + xs;
+                        int sx = clampi(xs - acc[i * 2], 0, w - 1);
+                        int sy = clampi(y - acc[i * 2 + 1], 0, hgt - 1);
+                        const uint8_t* cp = cur + (size_t)i * 3;
+                        const uint8_t* kp = key + ((size_t)sy * w + sx) * 3;
+                        o[0] = (float)((int32_t)cp[0] - (int32_t)kp[0]);
+                        o[1] = (float)((int32_t)cp[1] - (int32_t)kp[1]);
+                        o[2] = (float)((int32_t)cp[2] - (int32_t)kp[2]);
+                    };
                     std::vector<float> grid((size_t)fh * fw * 3);
-                    mv_res_to_grid(fbuf.data(), hgt, w, 3, sh, sw,
+                    mv_res_to_grid(res_get, hgt, w, 3, sh, sw,
                                    gh, gw, fh, fw, stride, grid.data());
                     std::memset(res_out, 0, sizeof(float) * (size_t)fh * fw * 3);
                     const float mB = pixel_means_bgr[0],
