@@ -207,6 +207,13 @@ def get_default_config() -> AttrDict:
     # bounded by tests/test_payload_fmt.py. Applies when the key schedule
     # allows key-only decode (frames_mode=1); other paths stay bgr8.
     p.frame_payload = "i420"
+    # Small-image source for the i420 prepared path: "yuv" scales the
+    # decoder's native YUV planes straight to the small grid (one
+    # SWS_AREA pass; saves ~1 ms/frame of host decode); "bgr" keeps the
+    # exact reference chain (full-res YUV->BGR then BGR->small). Pixel
+    # drift is bounded by tests/test_payload_fmt.py; bgr8 payloads
+    # always use the reference chain.
+    p.small_src = "yuv"
 
     _finalize(c)
     return c

@@ -177,7 +177,8 @@ class VideoReader:
                             small_factor: int = 4,
                             legacy_swap: bool = False,
                             frames_mode: int = 0,
-                            payload_fmt: str = "bgr8"):
+                            payload_fmt: str = "bgr8",
+                            small_src: str = "bgr"):
         """Decode one GOP straight to DEVICE-READY payloads (the C++ data
         plane — ~30x faster than the numpy/PIL chain on one core):
 
@@ -203,7 +204,13 @@ class VideoReader:
         fh, fw = bh // stride, bw // stride
         sbh, sbw = bh // small_factor, bw // small_factor
         fmt = {"bgr8": 0, "i420": 1}[payload_fmt]
-        if fmt == 1 and not hasattr(lib, "coviar_decode_gop_prepared_fmt"):
+        if small_src == "yuv":
+            # bit 4: smalls scaled straight from the decoder's YUV planes
+            # (skips the YUV->BGR->YUV round trip; i420-only, ~1 ms/f)
+            fmt |= 16
+        elif small_src != "bgr":
+            raise ValueError(f"small_src must be 'bgr' or 'yuv': {small_src}")
+        if fmt != 0 and not hasattr(lib, "coviar_decode_gop_prepared_fmt"):
             raise RuntimeError("libcoviar_tpu.so too old: rebuild native/")
         with self._lock:
             n = self.gop_frames(gop_idx)
@@ -211,7 +218,7 @@ class VideoReader:
                 raise IndexError(f"bad gop {gop_idx} for {self.path}")
             # mode 1: non-key slots stay zero (calloc pages — no fill cost)
             alloc = np.zeros if frames_mode == 1 else np.empty
-            if fmt == 1:
+            if fmt & 0xF == 1:
                 frames = alloc((n, bh * 3 // 2, bw, 1), np.uint8)
                 smalls = np.empty((n, sbh * 3 // 2, sbw, 1), np.uint8)
             else:
@@ -233,7 +240,7 @@ class VideoReader:
                 mv.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
                 res.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
                 info.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n]
-            if fmt == 1:
+            if fmt != 0:
                 got = lib.coviar_decode_gop_prepared_fmt(
                     *args, fmt, *tail)
             else:

@@ -28,6 +28,8 @@ extern "C" {
 #include <libswscale/swscale.h>
 }
 
+#include <ctime>
+
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
@@ -50,9 +52,25 @@ struct Handle {
     std::vector<int> gop_start;        // frame index of each GOP's I-frame
     std::string path;
     std::string err;
+    // per-stage cumulative seconds (coviar_prof_read):
+    // 0=demux+avcodec 1=frame_to_bgr 2=mv fill/accumulate
+    // 3=full-frame payload (sws+pad) 4=small payload 5=mv/res grids
+    double prof[6] = {0, 0, 0, 0, 0, 0};
 };
 
 void set_err(Handle* h, const std::string& e) { if (h) h->err = e; }
+
+inline double now_s() {
+    struct timespec ts;
+    clock_gettime(CLOCK_MONOTONIC, &ts);
+    return ts.tv_sec + ts.tv_nsec * 1e-9;
+}
+// Accumulates wall time into h->prof[stage] over its scope.
+struct ProfScope {
+    Handle* h; int stage; double t0;
+    ProfScope(Handle* h_, int s) : h(h_), stage(s), t0(now_s()) {}
+    ~ProfScope() { h->prof[stage] += now_s() - t0; }
+};
 
 int open_decoder(Handle* h, bool export_mvs) {
     if (avformat_open_input(&h->fmt, h->path.c_str(), nullptr, nullptr) < 0)
@@ -145,9 +163,19 @@ void frame_to_bgr(const AVFrame* frm, uint8_t* out, int w, int hgt) {
     sws_freeContext(sws);
 }
 
-// Per-pixel MV map (dst - src) from exported side data, rounded to int.
-void fill_mv(const AVFrame* frm, int32_t* mv, int w, int hgt) {
-    std::memset(mv, 0, sizeof(int32_t) * 2 * w * hgt);
+inline int clampi(int v, int lo, int hi) {
+    return v < lo ? lo : (v > hi ? hi : v);
+}
+
+// Chain this frame's block MVs (dst - src per-pixel map) onto the
+// accumulated field straight from the decoder's side data, skipping the
+// per-pixel staging buffer (saves ~9 MB of memory traffic per frame).
+// Identical result: pixels no block covers keep dx=dy=0 (acc=prev_acc,
+// the memcpy); covered pixels read only prev_acc, so side-data overlap
+// resolves last-writer-wins exactly like fill_mv's sequential fills.
+void accumulate_mv_from_frame(const AVFrame* frm, const int32_t* prev_acc,
+                              int32_t* acc, int w, int hgt) {
+    std::memcpy(acc, prev_acc, sizeof(int32_t) * 2 * (size_t)w * hgt);
     const AVFrameSideData* sd =
         av_frame_get_side_data(frm, AV_FRAME_DATA_MOTION_VECTORS);
     if (!sd) return;
@@ -155,34 +183,20 @@ void fill_mv(const AVFrame* frm, int32_t* mv, int w, int hgt) {
     int n = sd->size / sizeof(AVMotionVector);
     for (int i = 0; i < n; i++) {
         const AVMotionVector& m = mvs[i];
-        // displacement current -> reference sample = src - dst;
-        // coviar convention stores (dst - src)
         int dx = (int)lrint((double)(m.dst_x - m.src_x));
         int dy = (int)lrint((double)(m.dst_y - m.src_y));
         int x0 = m.dst_x - m.w / 2, y0 = m.dst_y - m.h / 2;
         for (int y = std::max(0, y0); y < std::min(hgt, y0 + (int)m.h); y++)
-            for (int x = std::max(0, x0); x < std::min(w, x0 + (int)m.w); x++) {
-                mv[(y * w + x) * 2 + 0] = dx;
-                mv[(y * w + x) * 2 + 1] = dy;
+            for (int x = std::max(0, x0); x < std::min(w, x0 + (int)m.w);
+                 x++) {
+                int sx = clampi(x - dx, 0, w - 1);
+                int sy = clampi(y - dy, 0, hgt - 1);
+                const int32_t* p = prev_acc + ((size_t)sy * w + sx) * 2;
+                int32_t* o = acc + ((size_t)y * w + x) * 2;
+                o[0] = dx + p[0];
+                o[1] = dy + p[1];
             }
     }
-}
-
-inline int clampi(int v, int lo, int hi) { return v < lo ? lo : (v > hi ? hi : v); }
-
-// acc_t(p) = mv_t(p) + acc_{t-1}(p - mv_t(p))   (chain back to the GOP key)
-void accumulate_mv(const int32_t* mv, const int32_t* prev_acc, int32_t* acc,
-                   int w, int hgt) {
-    for (int y = 0; y < hgt; y++)
-        for (int x = 0; x < w; x++) {
-            int i = (y * w + x) * 2;
-            int dx = mv[i], dy = mv[i + 1];
-            int sx = clampi(x - dx, 0, w - 1);
-            int sy = clampi(y - dy, 0, hgt - 1);
-            int j = (sy * w + sx) * 2;
-            acc[i] = dx + prev_acc[j];
-            acc[i + 1] = dy + prev_acc[j + 1];
-        }
 }
 
 // res(p) = cur(p) - key(p - acc(p)) per BGR channel (int32, can be negative)
@@ -344,6 +358,13 @@ COVIAR_API int coviar_num_gops(void* hp) {
 COVIAR_API int coviar_width(void* hp) { return ((Handle*)hp)->width; }
 COVIAR_API int coviar_height(void* hp) { return ((Handle*)hp)->height; }
 
+// Cumulative per-stage decode seconds since open/reset (see Handle::prof).
+COVIAR_API void coviar_prof_read(void* hp, double* out, int reset) {
+    Handle* h = (Handle*)hp;
+    for (int i = 0; i < 6; i++) out[i] = h->prof[i];
+    if (reset) std::memset(h->prof, 0, sizeof(h->prof));
+}
+
 COVIAR_API int coviar_gop_frames(void* hp, int gop_idx) {
     Handle* h = (Handle*)hp;
     if (gop_idx < 0 || gop_idx >= (int)h->gop_start.size()) return -1;
@@ -361,12 +382,14 @@ COVIAR_API int coviar_gop_frames(void* hp, int gop_idx) {
 namespace {
 
 // Shared GOP decode loop. The sink receives, per in-range frame:
-//   (rel, cur_bgr, key_bgr, acc) — full-res BGR, the GOP key's BGR, and the
-// accumulated MV field (zeros on the key frame).
+//   (rel, cur_bgr, key_bgr, acc, frm) — full-res BGR, the GOP key's BGR,
+// the accumulated MV field (zeros on the key frame), and the raw decoded
+// AVFrame (native pixel format, for direct-YUV consumers).
 int decode_gop_core(Handle* h, int gop_idx, int max_frames, bool need_mv,
                     const std::function<void(int, const uint8_t*,
                                              const uint8_t*,
-                                             const int32_t*)>& sink) {
+                                             const int32_t*,
+                                             const AVFrame*)>& sink) {
     int n_gop = coviar_gop_frames(h, gop_idx);
     if (n_gop < 0) return -1;
     int start = h->gop_start[gop_idx];
@@ -389,7 +412,7 @@ int decode_gop_core(Handle* h, int gop_idx, int max_frames, bool need_mv,
 
     std::vector<uint8_t> key_bgr(npx * 3);
     std::vector<uint8_t> cur_bgr(npx * 3);
-    std::vector<int32_t> frame_mv(npx * 2), acc(npx * 2), prev_acc(npx * 2, 0);
+    std::vector<int32_t> acc(npx * 2), prev_acc(npx * 2, 0);
 
     AVPacket* pkt = av_packet_alloc();
     AVFrame* frm = av_frame_alloc();
@@ -413,17 +436,21 @@ int decode_gop_core(Handle* h, int gop_idx, int max_frames, bool need_mv,
         fidx = gidx + 1;
         int rel = gidx - start;
         if (rel < 0 || rel >= want) return;
-        frame_to_bgr(f, cur_bgr.data(), w, hgt);
+        {
+            ProfScope ps(h, 1);
+            frame_to_bgr(f, cur_bgr.data(), w, hgt);
+        }
         if (rel == 0) {
             std::memcpy(key_bgr.data(), cur_bgr.data(), npx * 3);
             std::fill(prev_acc.begin(), prev_acc.end(), 0);
             std::fill(acc.begin(), acc.end(), 0);
         } else if (need_mv) {
-            fill_mv(f, frame_mv.data(), w, hgt);
-            accumulate_mv(frame_mv.data(), prev_acc.data(), acc.data(), w, hgt);
-            prev_acc = acc;
+            ProfScope ps(h, 2);
+            accumulate_mv_from_frame(f, prev_acc.data(), acc.data(), w, hgt);
         }
-        sink(rel, cur_bgr.data(), key_bgr.data(), acc.data());
+        sink(rel, cur_bgr.data(), key_bgr.data(), acc.data(), f);
+        if (rel > 0 && need_mv)
+            std::swap(prev_acc, acc);  // accumulate_mv overwrites every cell
         written++;
     };
 
@@ -433,6 +460,9 @@ int decode_gop_core(Handle* h, int gop_idx, int max_frames, bool need_mv,
             av_frame_unref(frm);
         }
     };
+    double p_start[6];
+    std::memcpy(p_start, h->prof, sizeof(p_start));
+    const double t_loop0 = now_s();
     while (av_read_frame(h->fmt, pkt) >= 0 && written < want) {
         if (pkt->stream_index == h->stream_idx) {
             int src;
@@ -447,6 +477,10 @@ int decode_gop_core(Handle* h, int gop_idx, int max_frames, bool need_mv,
         avcodec_send_packet(h->dec, nullptr);
         drain2();
     }
+    // stage 0 = demux + avcodec (loop wall minus the attributed stages)
+    double others = 0;
+    for (int s2 = 1; s2 < 6; s2++) others += h->prof[s2] - p_start[s2];
+    h->prof[0] += (now_s() - t_loop0) - others;
     av_packet_free(&pkt);
     av_frame_free(&frm);
     close_decoder(h);
@@ -464,7 +498,7 @@ COVIAR_API int coviar_decode_gop(void* hp, int gop_idx, uint8_t* bgr,
     return decode_gop_core(
         h, gop_idx, max_frames, need_mv,
         [&](int rel, const uint8_t* cur, const uint8_t* key,
-            const int32_t* acc) {
+            const int32_t* acc, const AVFrame*) {
             if (bgr)
                 std::memcpy(bgr + (size_t)rel * npx * 3, cur, npx * 3);
             if (mv)
@@ -516,6 +550,15 @@ static int decode_gop_prepared_impl(
     float pixel_scale, int legacy_swap, int frames_mode, int payload_fmt,
     uint8_t* frames, uint8_t* smalls, float* mv_out, float* res_out,
     float* im_info, int max_frames) {
+    // payload_fmt bit 4: produce smalls straight from the decoder's
+    // native YUV planes (one SWS_AREA plane scale) instead of the
+    // YUV->BGR->YUV round trip through the full-res conversion.
+    const int small_direct = (payload_fmt >> 4) & 1;
+    payload_fmt &= 0xF;
+    if (small_direct && payload_fmt != 1) {
+        set_err(h, "direct-YUV smalls require the i420 payload");
+        return -9;
+    }
     const int w = h->width, hgt = h->height;
     double s = resize_scale(hgt, w, target_size, max_size);
     const int sh = (int)lrint(hgt * s), sw = (int)lrint(w * s);
@@ -563,13 +606,14 @@ static int decode_gop_prepared_impl(
     SwsContext* sws = nullptr;                   // reused across frames
     SwsContext* sws_small = nullptr;
     auto sink = [&](int rel, const uint8_t* cur, const uint8_t* key,
-                    const int32_t* acc) {
+                    const int32_t* acc, const AVFrame* frm) {
         // --- frame: resize + pad in ONE sws pass (dst stride = bucket) ---
         bool want_full = frames && (frames_mode == 0 || rel == 0);
         if (payload_fmt == 1) {
             // planar I420 payloads: resize + BGR->YUV convert in one
             // sws pass, writing straight into the padded plane buffers.
             if (want_full) {
+                ProfScope ps(h, 3);
                 uint8_t* Y = frames + (size_t)rel * (bh * 3 / 2) * bw;
                 uint8_t* U = Y + (size_t)bh * bw;
                 uint8_t* V = U + (size_t)(bh / 2) * (bw / 2);
@@ -588,6 +632,7 @@ static int decode_gop_prepared_impl(
                 repad_i420(Y, bh, bw, sh, sw);
             }
             if (smalls) {
+                ProfScope ps(h, 4);
                 uint8_t* Y = smalls + (size_t)rel * (sbh * 3 / 2) * sbw;
                 uint8_t* U = Y + (size_t)sbh * sbw;
                 uint8_t* V = U + (size_t)(sbh / 2) * (sbw / 2);
@@ -596,20 +641,34 @@ static int decode_gop_prepared_impl(
                 std::memset(V, 128, (size_t)(sbh / 2) * (sbw / 2));
                 const int ssh = (sh + small_factor - 1) / small_factor;
                 const int ssw = (sw + small_factor - 1) / small_factor;
-                if (!sws_small)
-                    sws_small = sws_getContext(w, hgt, AV_PIX_FMT_BGR24,
-                                               ssw, ssh, AV_PIX_FMT_YUV420P,
-                                               SWS_AREA, nullptr, nullptr,
-                                               nullptr);
-                const uint8_t* src[1] = {cur};
-                int src_stride[1] = {3 * w};
                 uint8_t* dst[3] = {Y, U, V};
                 int dst_stride[3] = {sbw, sbw / 2, sbw / 2};
-                sws_scale(sws_small, src, src_stride, 0, hgt, dst,
-                          dst_stride);
+                if (small_direct) {
+                    // pure plane scale (no colorspace conversion): the
+                    // decoder output and the wire format are both YUV420
+                    if (!sws_small)
+                        sws_small = sws_getContext(
+                            frm->width, frm->height,
+                            (AVPixelFormat)frm->format, ssw, ssh,
+                            AV_PIX_FMT_YUV420P, SWS_AREA, nullptr,
+                            nullptr, nullptr);
+                    sws_scale(sws_small, frm->data, frm->linesize, 0,
+                              frm->height, dst, dst_stride);
+                } else {
+                    if (!sws_small)
+                        sws_small = sws_getContext(
+                            w, hgt, AV_PIX_FMT_BGR24, ssw, ssh,
+                            AV_PIX_FMT_YUV420P, SWS_AREA, nullptr,
+                            nullptr, nullptr);
+                    const uint8_t* src[1] = {cur};
+                    int src_stride[1] = {3 * w};
+                    sws_scale(sws_small, src, src_stride, 0, hgt, dst,
+                              dst_stride);
+                }
                 repad_i420(Y, sbh, sbw, ssh, ssw);
             }
         } else if (want_full) {
+            ProfScope ps(h, 3);
             uint8_t* dst_frame = frames + (size_t)rel * bh * bw * 3;
             std::memset(dst_frame, 0, (size_t)bh * bw * 3);
             if (!sws)
@@ -646,6 +705,7 @@ static int decode_gop_prepared_impl(
             // direct small: SWS_AREA resize straight to the small grid
             // (approximates box-mean of the bilinear-resized frame; only
             // non-key frames take this path and only their small is used)
+            ProfScope ps(h, 4);
             uint8_t* sm = smalls + (size_t)rel * sbh * sbw * 3;
             std::memset(sm, 0, (size_t)sbh * sbw * 3);
             const int ssh = (sh + small_factor - 1) / small_factor;
@@ -662,6 +722,7 @@ static int decode_gop_prepared_impl(
             sws_scale(sws_small, src, src_stride, 0, hgt, dst, dst_stride);
         }
         // --- MV grid (negated: the Python loader negates, image.py:54) ---
+        ProfScope ps_grids(h, 5);
         if (mv_out) {
             float* dst = mv_out + (size_t)rel * fh * fw * 2;
             if (rel == 0) {
@@ -832,7 +893,7 @@ COVIAR_API int coviar_decode_train_sample(
         int rc = decode_gop_core(
             h, old_gop, 1, false,
             [&](int rel, const uint8_t* cur, const uint8_t*,
-                const int32_t*) {
+                const int32_t*, const AVFrame*) {
                 if (rel == 0) { emit_frame(cur, data_ref_old);
                                 got_old = true; }
             });
@@ -844,7 +905,7 @@ COVIAR_API int coviar_decode_train_sample(
     int rc = decode_gop_core(
         h, gop, pos + 1, true,
         [&](int rel, const uint8_t* cur, const uint8_t* key,
-            const int32_t* acc) {
+            const int32_t* acc, const AVFrame*) {
             if (rel == 0 && data_ref) { emit_frame(cur, data_ref);
                                         got_ref = true; }
             if (rel != pos) return;

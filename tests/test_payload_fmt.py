@@ -182,3 +182,50 @@ def test_i420_vs_bgr8_features_bounded(clip):
         else:
             d = np.abs(a - b).mean()
         assert d < bound, (label, d)
+
+
+def test_small_src_yuv_drift_bounded(clip):
+    """cfg.tpu.small_src="yuv" scales the decoder's native YUV planes
+    straight to the small grid (one SWS_AREA pass) instead of the
+    YUV->BGR->YUV round trip through the full-res conversion (~1 ms/f of
+    host decode saved). Everything except the smalls must be BIT-IDENTICAL;
+    the smalls drift only by the skipped colorspace round trip + chroma
+    resample order (measured at 960x576: max 16, mean 1.5 on u8)."""
+    r = coviar.VideoReader(clip)
+    try:
+        kw = dict(stride=16, small_factor=SF, frames_mode=1,
+                  payload_fmt="i420")
+        fb, sb, mvb, resb, ib = r.decode_gop_prepared(
+            0, BUCKET, TARGET, MAXSZ, MEANS, small_src="bgr", **kw)
+        fy, sy, mvy, resy, iy = r.decode_gop_prepared(
+            0, BUCKET, TARGET, MAXSZ, MEANS, small_src="yuv", **kw)
+    finally:
+        r.close()
+    assert np.array_equal(fb, fy)          # key frames untouched
+    assert np.array_equal(mvb, mvy)
+    assert np.array_equal(resb, resy)
+    assert np.array_equal(ib, iy)
+    d = np.abs(sb.astype(np.int16) - sy.astype(np.int16))
+    assert d.max() <= 32, d.max()
+    assert d.mean() <= 4.0, d.mean()
+    # drift is sparse: mostly chroma edges
+    assert (d > 8).mean() < 0.05
+
+
+def test_small_src_yuv_requires_i420():
+    with pytest.raises(ValueError):
+        # wrapper-level validation of the small_src knob
+        from lsfa_tpu.data.coviar import VideoReader  # noqa: F401
+        r = None
+        try:
+            import tempfile, os
+            p = os.path.join(tempfile.mkdtemp(), "c.mp4")
+            coviar.encode_test_video(p, n_frames=12, w=W, h=H, gop_size=12)
+            r = coviar.VideoReader(p)
+            r.decode_gop_prepared(0, BUCKET, TARGET, MAXSZ, MEANS,
+                                  stride=16, small_factor=SF,
+                                  frames_mode=1, payload_fmt="i420",
+                                  small_src="nope")
+        finally:
+            if r is not None:
+                r.close()
