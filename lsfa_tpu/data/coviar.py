@@ -99,6 +99,10 @@ def _lib():
             ctypes.POINTER(ctypes.c_uint8),
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_float)]
+    if hasattr(lib, "coviar_prof_read"):
+        lib.coviar_prof_read.restype = None
+        lib.coviar_prof_read.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_double), ctypes.c_int]
     if hasattr(lib, "coviar_encode_test_video_b"):
         lib.coviar_encode_test_video_b.restype = ctypes.c_int
         lib.coviar_encode_test_video_b.argtypes = [
@@ -144,6 +148,20 @@ class VideoReader:
 
     def gop_frames(self, gop_idx: int) -> int:
         return self._lib.coviar_gop_frames(self._h, gop_idx)
+
+    #: stage labels for prof_read (see Handle::prof in coviar.cpp)
+    PROF_STAGES = ("demux+avcodec", "frame_to_bgr", "mv_accumulate",
+                   "full_payload", "small_payload", "mv_res_grids")
+
+    def prof_read(self, reset: bool = True) -> dict:
+        """Cumulative per-stage decode seconds since open (or last reset),
+        keyed by PROF_STAGES. Returns {} if the .so predates the profiler."""
+        if not hasattr(self._lib, "coviar_prof_read"):
+            return {}
+        buf = (ctypes.c_double * 6)()
+        with self._lock:
+            self._lib.coviar_prof_read(self._h, buf, 1 if reset else 0)
+        return dict(zip(self.PROF_STAGES, list(buf)))
 
     def decode_gop(self, gop_idx: int):
         """Returns (bgr (N,H,W,3) uint8, mv (N,H,W,2) int32, res (N,H,W,3)

@@ -168,40 +168,86 @@ inline int clampi(int v, int lo, int hi) {
 }
 
 // Chain this frame's block MVs (dst - src per-pixel map) onto the
-// accumulated field straight from the decoder's side data, skipping the
-// per-pixel staging buffer (saves ~9 MB of memory traffic per frame).
-// Identical result: pixels no block covers keep dx=dy=0 (acc=prev_acc,
-// the memcpy); covered pixels read only prev_acc, so side-data overlap
-// resolves last-writer-wins exactly like fill_mv's sequential fills.
-void accumulate_mv_from_frame(const AVFrame* frm, const int32_t* prev_acc,
-                              int32_t* acc, int w, int hgt) {
-    std::memcpy(acc, prev_acc, sizeof(int32_t) * 2 * (size_t)w * hgt);
+// accumulated int16 field straight from the decoder's side data.
+// Result is identical to a full-frame copy + per-pixel block fills:
+// pixels no block covers keep prev_acc (the run copies), covered pixels
+// read only prev_acc (separate buffer, no aliasing), and side-data
+// overlap resolves last-writer-wins exactly like sequential fills.
+// Memory traffic is proportional to the UNCOVERED area only: 8x8 cells a
+// single block fully covers skip the copy (exact for any block geometry
+// — partially covered cells are copied first, then overwritten), and
+// in-bounds block rows read prev_acc contiguously. int16 holds the chain
+// easily (<= GOP_SIZE * max-MV << 32767) and halves the bytes moved.
+void accumulate_mv_from_frame(const AVFrame* frm, const int16_t* prev_acc,
+                              int16_t* acc, int w, int hgt,
+                              std::vector<uint8_t>& cov) {
     const AVFrameSideData* sd =
         av_frame_get_side_data(frm, AV_FRAME_DATA_MOTION_VECTORS);
-    if (!sd) return;
-    const AVMotionVector* mvs = (const AVMotionVector*)sd->data;
-    int n = sd->size / sizeof(AVMotionVector);
-    for (int i = 0; i < n; i++) {
+    const AVMotionVector* mvs =
+        sd ? (const AVMotionVector*)sd->data : nullptr;
+    const int n = sd ? (int)(sd->size / sizeof(AVMotionVector)) : 0;
+    const int cw = (w + 7) / 8, ch = (hgt + 7) / 8;
+    cov.assign((size_t)cw * ch, 0);
+    for (int i = 0; i < n; i++) {          // cells fully inside one block
+        const AVMotionVector& m = mvs[i];
+        int bx0 = m.dst_x - m.w / 2, by0 = m.dst_y - m.h / 2;
+        int x0 = std::max(0, bx0), x1 = std::min(w, bx0 + (int)m.w);
+        int y0 = std::max(0, by0), y1 = std::min(hgt, by0 + (int)m.h);
+        int cx0 = (x0 + 7) / 8, cx1 = x1 / 8;
+        int cy0 = (y0 + 7) / 8, cy1 = y1 / 8;
+        if (cx1 > cx0)
+            for (int cy = cy0; cy < cy1; cy++)
+                std::memset(&cov[(size_t)cy * cw + cx0], 1, cx1 - cx0);
+    }
+    for (int cy = 0; cy < ch; cy++) {      // copy prev over uncovered runs
+        const uint8_t* crow = &cov[(size_t)cy * cw];
+        int py0 = cy * 8, py1 = std::min(hgt, py0 + 8);
+        for (int cx = 0; cx < cw;) {
+            if (crow[cx]) { cx++; continue; }
+            int ce = cx;
+            while (ce < cw && !crow[ce]) ce++;
+            int px0 = cx * 8, px1 = std::min(w, ce * 8);
+            for (int y = py0; y < py1; y++)
+                std::memcpy(acc + ((size_t)y * w + px0) * 2,
+                            prev_acc + ((size_t)y * w + px0) * 2,
+                            sizeof(int16_t) * 2 * (size_t)(px1 - px0));
+            cx = ce;
+        }
+    }
+    for (int i = 0; i < n; i++) {          // rasterize (last-writer-wins)
         const AVMotionVector& m = mvs[i];
         int dx = (int)lrint((double)(m.dst_x - m.src_x));
         int dy = (int)lrint((double)(m.dst_y - m.src_y));
-        int x0 = m.dst_x - m.w / 2, y0 = m.dst_y - m.h / 2;
-        for (int y = std::max(0, y0); y < std::min(hgt, y0 + (int)m.h); y++)
-            for (int x = std::max(0, x0); x < std::min(w, x0 + (int)m.w);
-                 x++) {
-                int sx = clampi(x - dx, 0, w - 1);
-                int sy = clampi(y - dy, 0, hgt - 1);
-                const int32_t* p = prev_acc + ((size_t)sy * w + sx) * 2;
-                int32_t* o = acc + ((size_t)y * w + x) * 2;
-                o[0] = dx + p[0];
-                o[1] = dy + p[1];
+        int bx0 = m.dst_x - m.w / 2, by0 = m.dst_y - m.h / 2;
+        int x0 = std::max(0, bx0), x1 = std::min(w, bx0 + (int)m.w);
+        int y0 = std::max(0, by0), y1 = std::min(hgt, by0 + (int)m.h);
+        bool xin = (x0 - dx >= 0) && (x1 - dx <= w);
+        for (int y = y0; y < y1; y++) {
+            int sy = clampi(y - dy, 0, hgt - 1);
+            int16_t* o = acc + ((size_t)y * w + x0) * 2;
+            if (xin) {                     // contiguous source row segment
+                const int16_t* p =
+                    prev_acc + ((size_t)sy * w + (x0 - dx)) * 2;
+                for (int x = x0; x < x1; x++, o += 2, p += 2) {
+                    o[0] = (int16_t)(dx + p[0]);
+                    o[1] = (int16_t)(dy + p[1]);
+                }
+            } else {
+                for (int x = x0; x < x1; x++, o += 2) {
+                    int sx = clampi(x - dx, 0, w - 1);
+                    const int16_t* p =
+                        prev_acc + ((size_t)sy * w + sx) * 2;
+                    o[0] = (int16_t)(dx + p[0]);
+                    o[1] = (int16_t)(dy + p[1]);
+                }
             }
+        }
     }
 }
 
 // res(p) = cur(p) - key(p - acc(p)) per BGR channel (int32, can be negative)
 void compute_residual(const uint8_t* cur, const uint8_t* key,
-                      const int32_t* acc, int32_t* res, int w, int hgt) {
+                      const int16_t* acc, int32_t* res, int w, int hgt) {
     for (int y = 0; y < hgt; y++)
         for (int x = 0; x < w; x++) {
             int i = (y * w + x);
@@ -388,7 +434,7 @@ namespace {
 int decode_gop_core(Handle* h, int gop_idx, int max_frames, bool need_mv,
                     const std::function<void(int, const uint8_t*,
                                              const uint8_t*,
-                                             const int32_t*,
+                                             const int16_t*,
                                              const AVFrame*)>& sink) {
     int n_gop = coviar_gop_frames(h, gop_idx);
     if (n_gop < 0) return -1;
@@ -412,7 +458,8 @@ int decode_gop_core(Handle* h, int gop_idx, int max_frames, bool need_mv,
 
     std::vector<uint8_t> key_bgr(npx * 3);
     std::vector<uint8_t> cur_bgr(npx * 3);
-    std::vector<int32_t> acc(npx * 2), prev_acc(npx * 2, 0);
+    std::vector<int16_t> acc(npx * 2), prev_acc(npx * 2, 0);
+    std::vector<uint8_t> cov;
 
     AVPacket* pkt = av_packet_alloc();
     AVFrame* frm = av_frame_alloc();
@@ -446,7 +493,8 @@ int decode_gop_core(Handle* h, int gop_idx, int max_frames, bool need_mv,
             std::fill(acc.begin(), acc.end(), 0);
         } else if (need_mv) {
             ProfScope ps(h, 2);
-            accumulate_mv_from_frame(f, prev_acc.data(), acc.data(), w, hgt);
+            accumulate_mv_from_frame(f, prev_acc.data(), acc.data(), w,
+                                     hgt, cov);
         }
         sink(rel, cur_bgr.data(), key_bgr.data(), acc.data(), f);
         if (rel > 0 && need_mv)
@@ -498,12 +546,13 @@ COVIAR_API int coviar_decode_gop(void* hp, int gop_idx, uint8_t* bgr,
     return decode_gop_core(
         h, gop_idx, max_frames, need_mv,
         [&](int rel, const uint8_t* cur, const uint8_t* key,
-            const int32_t* acc, const AVFrame*) {
+            const int16_t* acc, const AVFrame*) {
             if (bgr)
                 std::memcpy(bgr + (size_t)rel * npx * 3, cur, npx * 3);
-            if (mv)
-                std::memcpy(mv + (size_t)rel * npx * 2, acc,
-                            npx * 2 * sizeof(int32_t));
+            if (mv) {
+                int32_t* o = mv + (size_t)rel * npx * 2;
+                for (size_t i = 0; i < npx * 2; i++) o[i] = acc[i];
+            }
             if (res) {
                 int32_t* r = res + (size_t)rel * npx * 3;
                 if (rel == 0)
@@ -606,7 +655,7 @@ static int decode_gop_prepared_impl(
     SwsContext* sws = nullptr;                   // reused across frames
     SwsContext* sws_small = nullptr;
     auto sink = [&](int rel, const uint8_t* cur, const uint8_t* key,
-                    const int32_t* acc, const AVFrame* frm) {
+                    const int16_t* acc, const AVFrame* frm) {
         // --- frame: resize + pad in ONE sws pass (dst stride = bucket) ---
         bool want_full = frames && (frames_mode == 0 || rel == 0);
         if (payload_fmt == 1) {
@@ -729,7 +778,7 @@ static int decode_gop_prepared_impl(
                 std::memset(dst, 0, sizeof(float) * fh * fw * 2);
             } else {
                 auto mv_get = [&](int y, int x, float* o) {
-                    const int32_t* p = acc + ((size_t)y * w + x) * 2;
+                    const int16_t* p = acc + ((size_t)y * w + x) * 2;
                     o[0] = (float)(-p[0]);
                     o[1] = (float)(-p[1]);
                 };
@@ -893,7 +942,7 @@ COVIAR_API int coviar_decode_train_sample(
         int rc = decode_gop_core(
             h, old_gop, 1, false,
             [&](int rel, const uint8_t* cur, const uint8_t*,
-                const int32_t*, const AVFrame*) {
+                const int16_t*, const AVFrame*) {
                 if (rel == 0) { emit_frame(cur, data_ref_old);
                                 got_old = true; }
             });
@@ -905,7 +954,7 @@ COVIAR_API int coviar_decode_train_sample(
     int rc = decode_gop_core(
         h, gop, pos + 1, true,
         [&](int rel, const uint8_t* cur, const uint8_t* key,
-            const int32_t* acc, const AVFrame*) {
+            const int16_t* acc, const AVFrame*) {
             if (rel == 0 && data_ref) { emit_frame(cur, data_ref);
                                         got_ref = true; }
             if (rel != pos) return;
@@ -920,7 +969,7 @@ COVIAR_API int coviar_decode_train_sample(
                     // evaluated lazily at the grid taps (see bilinear_at)
                     auto mv_get = [&](int y, int x, float* o) {
                         int xs = flip ? (w - 1 - x) : x;
-                        const int32_t* a = acc + ((size_t)y * w + xs) * 2;
+                        const int16_t* a = acc + ((size_t)y * w + xs) * 2;
                         o[0] = flip ? (float)a[0] : -(float)a[0];
                         o[1] = -(float)a[1];
                     };
