@@ -10,8 +10,14 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_ENABLE_X64", "0")
-# persistent compilation cache makes repeated test runs fast
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+# persistent compilation cache makes repeated test runs fast; keyed by
+# host CPU features so a host swap never loads poisoned AOT artifacts
+# (XLA:CPU SIGILL — see lsfa_tpu.utils.env._host_tag)
+import sys
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from lsfa_tpu.utils.env import _host_tag
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      f"/tmp/jax_cache_{_host_tag()}")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 # The environment ships a TPU plugin that force-registers itself over the

@@ -28,6 +28,8 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from lsfa_tpu.utils.env import _host_tag  # noqa: E402
+
 PORT = 12977
 N_PROC = 2
 DEV_PER_PROC = 4
@@ -149,7 +151,7 @@ def parent(out: str) -> int:
     for pid in range(N_PROC):
         env = dict(
             os.environ,
-            JAX_COMPILATION_CACHE_DIR="/tmp/jax_cache",
+            JAX_COMPILATION_CACHE_DIR=f"/tmp/jax_cache_{_host_tag()}",
             LSFA_MULTIHOST_CHILD=str(pid),
         )
         logs.append(open(f"/tmp/lsfa_multihost_{pid}.log", "w+"))
