@@ -214,6 +214,13 @@ def get_default_config() -> AttrDict:
     # drift is bounded by tests/test_payload_fmt.py; bgr8 payloads
     # always use the reference chain.
     p.small_src = "yuv"
+    # Residual-grid tap source for the i420 prepared path: "yuv" converts
+    # tap pixels (~40K/frame) straight from the decoder's YUV planes so
+    # non-key frames skip the full-res YUV->BGR pass (~0.4 ms/frame);
+    # "bgr" keeps the exact reference chain. Drift is bounded by
+    # tests/test_payload_fmt.py; bgr8 payloads always use the reference
+    # chain.
+    p.res_src = "yuv"
 
     _finalize(c)
     return c

@@ -196,7 +196,8 @@ class VideoReader:
                             legacy_swap: bool = False,
                             frames_mode: int = 0,
                             payload_fmt: str = "bgr8",
-                            small_src: str = "bgr"):
+                            small_src: str = "bgr",
+                            res_src: str = "bgr"):
         """Decode one GOP straight to DEVICE-READY payloads (the C++ data
         plane — ~30x faster than the numpy/PIL chain on one core):
 
@@ -228,6 +229,13 @@ class VideoReader:
             fmt |= 16
         elif small_src != "bgr":
             raise ValueError(f"small_src must be 'bgr' or 'yuv': {small_src}")
+        if res_src == "yuv":
+            # bit 5: residual-grid taps convert per-pixel from the
+            # decoder's YUV planes; with direct smalls too, non-key
+            # frames skip the full-res YUV->BGR pass entirely
+            fmt |= 32
+        elif res_src != "bgr":
+            raise ValueError(f"res_src must be 'bgr' or 'yuv': {res_src}")
         if fmt != 0 and not hasattr(lib, "coviar_decode_gop_prepared_fmt"):
             raise RuntimeError("libcoviar_tpu.so too old: rebuild native/")
         with self._lock:

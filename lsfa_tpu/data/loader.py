@@ -375,8 +375,10 @@ class PreparedVideo:
             if mode != 1:
                 fmt = "bgr8"
             small_src = getattr(cfg.tpu, "small_src", "bgr")
+            res_src = getattr(cfg.tpu, "res_src", "bgr")
             if fmt != "i420":
-                small_src = "bgr"       # direct-YUV smalls are i420-only
+                small_src = "bgr"       # direct-YUV paths are i420-only
+                res_src = "bgr"
             self._cache = self.reader.decode_gop_prepared(
                 gop_idx, self.bucket_hw, target, max_size,
                 cfg.network.PIXEL_MEANS, cfg.network.PIXEL_SCALE,
@@ -384,7 +386,8 @@ class PreparedVideo:
                 small_factor=small_pool_factor(cfg.network.small_net_stride),
                 legacy_swap=bool(getattr(cfg.network,
                                          "res_diff_legacy_swap", False)),
-                frames_mode=mode, payload_fmt=fmt, small_src=small_src)
+                frames_mode=mode, payload_fmt=fmt, small_src=small_src,
+                res_src=res_src)
             self._gop = gop_idx
         return self._cache
 

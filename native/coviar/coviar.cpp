@@ -46,6 +46,7 @@ struct Handle {
     AVCodecContext* dec = nullptr;
     int stream_idx = -1;
     int width = 0, height = 0;
+    int pix_fmt = -1;                  // decoder sw pixel format
     // frame index: packet positions of every frame + keyframe flags
     std::vector<int64_t> pts;          // presentation order assumed = decode order (no B)
     std::vector<uint8_t> is_key;
@@ -95,6 +96,7 @@ int open_decoder(Handle* h, bool export_mvs) {
     }
     h->width = h->dec->width;
     h->height = h->dec->height;
+    h->pix_fmt = h->dec->pix_fmt;
     return 0;
 }
 
@@ -435,7 +437,8 @@ int decode_gop_core(Handle* h, int gop_idx, int max_frames, bool need_mv,
                     const std::function<void(int, const uint8_t*,
                                              const uint8_t*,
                                              const int16_t*,
-                                             const AVFrame*)>& sink) {
+                                             const AVFrame*)>& sink,
+                    bool key_bgr_only = false) {
     int n_gop = coviar_gop_frames(h, gop_idx);
     if (n_gop < 0) return -1;
     int start = h->gop_start[gop_idx];
@@ -483,7 +486,11 @@ int decode_gop_core(Handle* h, int gop_idx, int max_frames, bool need_mv,
         fidx = gidx + 1;
         int rel = gidx - start;
         if (rel < 0 || rel >= want) return;
-        {
+        // key_bgr_only: non-key frames skip the full-res BGR conversion
+        // (the sink consumes them straight from the decoder's YUV planes);
+        // cur_bgr then still holds the key's pixels — such sinks must not
+        // read `cur` for rel > 0.
+        if (!key_bgr_only || rel == 0) {
             ProfScope ps(h, 1);
             frame_to_bgr(f, cur_bgr.data(), w, hgt);
         }
@@ -602,12 +609,25 @@ static int decode_gop_prepared_impl(
     // payload_fmt bit 4: produce smalls straight from the decoder's
     // native YUV planes (one SWS_AREA plane scale) instead of the
     // YUV->BGR->YUV round trip through the full-res conversion.
+    // bit 5: residual-grid taps read the decoder's YUV planes directly
+    // (per-pixel BT.601 conversion at the ~40K tap pixels) so NON-KEY
+    // frames skip the full-res YUV->BGR pass entirely. Both are i420-only.
     const int small_direct = (payload_fmt >> 4) & 1;
+    const int res_direct = (payload_fmt >> 5) & 1;
     payload_fmt &= 0xF;
-    if (small_direct && payload_fmt != 1) {
-        set_err(h, "direct-YUV smalls require the i420 payload");
+    if ((small_direct || res_direct) && payload_fmt != 1) {
+        set_err(h, "direct-YUV smalls/res require the i420 payload");
         return -9;
     }
+    // direct tap conversion knows BT.601 limited (yuv420p) and full
+    // (yuvj420p) range; anything else keeps the exact sws chain
+    const bool yuv_taps_ok =
+        res_direct && (h->pix_fmt == AV_PIX_FMT_YUV420P ||
+                       h->pix_fmt == AV_PIX_FMT_YUVJ420P);
+    // non-key frames need the full-res BGR only for residual taps and
+    // (non-direct) smalls — with both direct, skip the conversion
+    const bool key_bgr_only =
+        yuv_taps_ok && small_direct && frames_mode == 1;
     const int w = h->width, hgt = h->height;
     double s = resize_scale(hgt, w, target_size, max_size);
     const int sh = (int)lrint(hgt * s), sw = (int)lrint(w * s);
@@ -803,16 +823,52 @@ static int decode_gop_prepared_impl(
             } else {
                 // lazy residual: res(p) = cur(p) - key(p - acc(p)) computed
                 // only at the ~40K source pixels the grid taps actually
-                // read (compute_residual semantics, bit-identical floats)
+                // read (compute_residual semantics, bit-identical floats).
+                // With res_direct, cur(p) converts per-tap from the
+                // decoder's YUV planes (BT.601; nearest chroma) so the
+                // full-res BGR pass never runs on non-key frames —
+                // bounded drift vs the sws chain, key side unchanged.
+                const uint8_t* Yp = frm->data[0];
+                const uint8_t* Up = frm->data[1];
+                const uint8_t* Vp = frm->data[2];
+                const int ly = frm->linesize[0], lu = frm->linesize[1],
+                          lv = frm->linesize[2];
+                const bool full_range =
+                    (frm->format == AV_PIX_FMT_YUVJ420P);
+                auto cur_bgr_at = [&](int y, int x, int32_t* bgr) {
+                    int Yv = Yp[(size_t)y * ly + x];
+                    int D = Up[(size_t)(y >> 1) * lu + (x >> 1)] - 128;
+                    int E = Vp[(size_t)(y >> 1) * lv + (x >> 1)] - 128;
+                    int C = full_range ? 256 * Yv : 298 * (Yv - 16);
+                    int R, G, B;
+                    if (full_range) {
+                        R = (C + 359 * E + 128) >> 8;
+                        G = (C - 88 * D - 183 * E + 128) >> 8;
+                        B = (C + 454 * D + 128) >> 8;
+                    } else {
+                        R = (C + 409 * E + 128) >> 8;
+                        G = (C - 100 * D - 208 * E + 128) >> 8;
+                        B = (C + 516 * D + 128) >> 8;
+                    }
+                    bgr[0] = clampi(B, 0, 255);
+                    bgr[1] = clampi(G, 0, 255);
+                    bgr[2] = clampi(R, 0, 255);
+                };
                 auto res_get = [&](int y, int x, float* o) {
                     int i = y * w + x;
                     int sx = clampi(x - acc[i * 2], 0, w - 1);
                     int sy = clampi(y - acc[i * 2 + 1], 0, hgt - 1);
-                    const uint8_t* cp = cur + (size_t)i * 3;
                     const uint8_t* kp = key + ((size_t)sy * w + sx) * 3;
-                    o[0] = (float)((int32_t)cp[0] - (int32_t)kp[0]);
-                    o[1] = (float)((int32_t)cp[1] - (int32_t)kp[1]);
-                    o[2] = (float)((int32_t)cp[2] - (int32_t)kp[2]);
+                    int32_t c[3];
+                    if (yuv_taps_ok) {
+                        cur_bgr_at(y, x, c);
+                    } else {
+                        const uint8_t* cp = cur + (size_t)i * 3;
+                        c[0] = cp[0]; c[1] = cp[1]; c[2] = cp[2];
+                    }
+                    o[0] = (float)(c[0] - (int32_t)kp[0]);
+                    o[1] = (float)(c[1] - (int32_t)kp[1]);
+                    o[2] = (float)(c[2] - (int32_t)kp[2]);
                 };
                 std::vector<float> grid((size_t)fh * fw * 3);
                 mv_res_to_grid(res_get, hgt, w, 3, sh, sw,
@@ -842,7 +898,8 @@ static int decode_gop_prepared_impl(
             }
         }
     };
-    int got = decode_gop_core(h, gop_idx, max_frames, true, sink);
+    int got = decode_gop_core(h, gop_idx, max_frames, true, sink,
+                              key_bgr_only);
     if (sws) sws_freeContext(sws);
     if (sws_small) sws_freeContext(sws_small);
     return got;

@@ -229,3 +229,46 @@ def test_small_src_yuv_requires_i420():
         finally:
             if r is not None:
                 r.close()
+
+
+def test_res_src_yuv_drift_bounded(clip):
+    """cfg.tpu.res_src="yuv": residual-grid taps convert per-pixel from
+    the decoder's YUV planes (BT.601, nearest chroma) so non-key frames
+    skip the full-res YUV->BGR pass (~0.4 ms/f host). Only the residual
+    grids may drift (key frames, smalls, MV grids bit-identical); the
+    drift is the conversion rounding (measured at 960x576: max 2.8 raw
+    residual units, mean 0.73)."""
+    r = coviar.VideoReader(clip)
+    try:
+        kw = dict(stride=16, small_factor=SF, frames_mode=1,
+                  payload_fmt="i420", small_src="yuv")
+        fb, sb, mvb, resb, ib = r.decode_gop_prepared(
+            0, BUCKET, TARGET, MAXSZ, MEANS, res_src="bgr", **kw)
+        fy, sy, mvy, resy, iy = r.decode_gop_prepared(
+            0, BUCKET, TARGET, MAXSZ, MEANS, res_src="yuv", **kw)
+    finally:
+        r.close()
+    assert np.array_equal(fb, fy)
+    assert np.array_equal(sb, sy)
+    assert np.array_equal(mvb, mvy)
+    assert np.array_equal(ib, iy)
+    d = np.abs(resb - resy)
+    assert d.max() <= 8.0, d.max()
+    assert d.mean() <= 2.0, d.mean()
+
+
+def test_res_src_validated():
+    with pytest.raises(ValueError):
+        r = None
+        try:
+            import tempfile, os
+            p = os.path.join(tempfile.mkdtemp(), "c2.mp4")
+            coviar.encode_test_video(p, n_frames=12, w=W, h=H, gop_size=12)
+            r = coviar.VideoReader(p)
+            r.decode_gop_prepared(0, BUCKET, TARGET, MAXSZ, MEANS,
+                                  stride=16, small_factor=SF,
+                                  frames_mode=1, payload_fmt="i420",
+                                  res_src="nope")
+        finally:
+            if r is not None:
+                r.close()
