@@ -31,6 +31,36 @@ def test_nms_loose_threshold():
     run_case(2, 150, 0.3, 300)
 
 
+def test_nms_tied_scores_deterministic_first_index_wins():
+    """Exactly tied scores must resolve by input order on BOTH sides:
+    the op sorts with a stable argsort (ops/nms.py) and the oracle with
+    kind='stable' (ref_impl.py:19) — so a tie among mutually-suppressing
+    boxes keeps the LOWEST input index, deterministically. (This is the
+    reference's behavior too: np.argsort's default introsort happens to
+    be order-preserving on the small tied runs py_nms sees, and the
+    scores there are float products that rarely tie exactly.)"""
+    rng = np.random.default_rng(7)
+    base = rand_boxes(rng, 16, hi=80)
+    # 3 near-identical clusters of 4 boxes each sharing ONE tied score,
+    # plus untied fillers
+    boxes = np.concatenate([
+        np.repeat(base[:3], 4, axis=0) + rng.uniform(0, 2, (12, 4)).astype(np.float32),
+        base[3:7]], axis=0).astype(np.float32)
+    scores = np.concatenate([
+        np.repeat(np.float32([0.9, 0.8, 0.7]), 4),
+        rng.uniform(0.01, 0.6, 4).astype(np.float32)])
+    keep_idx, keep_valid = nms_fixed(
+        jnp.asarray(boxes), jnp.asarray(scores), 0.5, 16)
+    got = np.asarray(keep_idx)[np.asarray(keep_valid)]
+    want = ref_nms(np.concatenate([boxes, scores[:, None]], axis=1), 0.5)
+    np.testing.assert_array_equal(got, want[:16])
+    # each tied cluster's survivor is its first member
+    for cluster_start in (0, 4, 8):
+        members = got[(got >= cluster_start) & (got < cluster_start + 4)]
+        if len(members):
+            assert members[0] == cluster_start
+
+
 def test_nms_with_invalid_entries():
     rng = np.random.default_rng(3)
     boxes = rand_boxes(rng, 40, hi=100)
