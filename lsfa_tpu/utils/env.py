@@ -36,10 +36,30 @@ def _host_tag() -> str:
     return "generic"
 
 
+def honor_platform_env() -> None:
+    """Re-assert JAX_PLATFORMS via jax.config (no-op when unset).
+
+    This environment's TPU plugin force-registers itself OVER the
+    JAX_PLATFORMS env var; a script that sets JAX_PLATFORMS=cpu still
+    initializes the TPU backend — and hangs ~20 min in backend-init
+    retries when the device link is down. The config update restores the
+    env var's intent (the test conftest does the same pin)."""
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
+
+
 def setup_cache(path: str | None = None) -> None:
     """Enable the persistent JAX compilation cache (must run before the
     first compilation; safe to call anytime). The directory is keyed by
-    the host CPU's feature set — see _host_tag."""
+    the host CPU's feature set — see _host_tag. Also honors a
+    JAX_PLATFORMS env override (see honor_platform_env)."""
+    honor_platform_env()
     if path is None:
         path = f"/tmp/lsfa_tpu_jax_cache_{_host_tag()}"
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", path)
