@@ -298,9 +298,22 @@ def run_latency() -> dict:
     det.reset()
     key_ms, cur_ms = [], []
     n = min(pv.num_frames, 6 * interval)
+    last_gop = -1
+    decode_share_ms = 0.0
     for fid in range(n):
         flag = det.key_frame_flag(fid)
-        t0 = _t.perf_counter()          # decode included: camera-to-boxes
+        # The C plane decodes whole GOPs; a live per-packet decoder pays
+        # ~1/GOP of that on EVERY frame as its packet arrives. Attribute
+        # decode per-frame (amortized) instead of dumping all 12 frames'
+        # decode into the key frame's latency and none into the others'.
+        g = fid // 12
+        if g != last_gop:
+            pv._gop = -1                # force a real decode
+            t0 = _t.perf_counter()
+            pv.gop(g)
+            decode_share_ms = (_t.perf_counter() - t0) * 1000 / 12.0
+            last_gop = g
+        t0 = _t.perf_counter()          # camera-to-boxes minus decode
         data, small, mv, res, info = pv.frame(fid)
         if flag in (0, 1):
             d, v = det.process_frame(data, info, flag=flag)
@@ -308,7 +321,7 @@ def run_latency() -> dict:
             d, v = det.process_frame(None, info, mv, res, flag=2,
                                      small=small)
         np.asarray(d)                   # force the result to the host
-        dt_ms = (_t.perf_counter() - t0) * 1000
+        dt_ms = (_t.perf_counter() - t0) * 1000 + decode_share_ms
         (key_ms if flag in (0, 1) else cur_ms).append(dt_ms)
     key_ms, cur_ms = np.asarray(key_ms), np.asarray(cur_ms)
     for name, a in (("key", key_ms), ("non-key", cur_ms)):
@@ -318,7 +331,8 @@ def run_latency() -> dict:
     return {
         "metric": "lsfa_online_frame_latency_ms",
         "value": round(float(np.percentile(cur_ms, 50)), 2),
-        "unit": ("ms/frame online p50 non-key incl. decode (key p50 "
+        "unit": ("ms/frame online p50 non-key incl. per-frame amortized "
+                 "decode (key p50 "
                  f"{np.percentile(key_ms, 50):.0f} ms, non-key p95 "
                  f"{np.percentile(cur_ms, 95):.0f} ms, 608x1024)"),
         # 30 FPS real-time budget = 33.3 ms/frame

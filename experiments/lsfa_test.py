@@ -80,7 +80,8 @@ def run_test(cfg, params=None, batch_stats=None, ckpt_dir=None,
             mesh = Mesh(devs, ("data",))
         dets = eval_videos_lanes(model, variables, cfg, video_roidb,
                                  lanes=lanes, det_cache=cache,
-                                 logger=logger, mesh=mesh)
+                                 logger=logger, mesh=mesh,
+                                 max_frames=max_frames)
     else:
         dets = eval_videos(model, variables, cfg, video_roidb,
                            det_cache=cache, logger=logger,

@@ -168,3 +168,33 @@ def small_pool_factor(small_net_stride: int) -> int:
     4x for stride 4 (backbone stage-1 adds /4) and 2x for stride 8
     (stage-2 adds /4) — reference fuse_small_net :215-224."""
     return 4 if small_net_stride == 4 else 2
+
+
+def bgr_to_i420(frames: np.ndarray) -> np.ndarray:
+    """(B, H, W, 3) uint8 BGR -> (B, H*3/2, W, 1) planar I420 uint8.
+
+    BT.601 limited range with 2x2 chroma mean — the inverse of the device
+    converter (models/lsfa.py::_preprocess_i420) up to rounding, and the
+    same packing the C data plane emits. Used for FORMAT-CONSISTENT
+    fallbacks: when a loader serves i420 prepared payloads, frames that
+    must go through the host BGR chain (stream shorter than the roidb's
+    frame_seg_len — the reference hits this on every video's last frame,
+    lib/utils/image.py:45-55) are packed so batch shapes stay uniform.
+    BGR (0,0,0) padding maps to Y=16 U=V=128, which the device converts
+    back to exact zeros. H and W must be multiples of 4 (bucket dims are
+    multiples of 16; small buckets of 4)."""
+    b, g, r = (frames[..., i].astype(np.float32) for i in range(3))
+    y = 16.0 + (65.481 * r + 128.553 * g + 24.966 * b) / 255.0
+    cb = 128.0 + (-37.797 * r - 74.203 * g + 112.0 * b) / 255.0
+    cr = 128.0 + (112.0 * r - 93.786 * g - 18.214 * b) / 255.0
+    n, h, w = y.shape
+    yp = np.clip(np.round(y), 0, 255).astype(np.uint8)
+
+    def sub(c):
+        c = c.reshape(n, h // 2, 2, w // 2, 2).mean((2, 4))
+        return np.clip(np.round(c), 0, 255).astype(np.uint8)
+
+    packed = np.concatenate([yp,
+                             sub(cb).reshape(n, h // 4, w),
+                             sub(cr).reshape(n, h // 4, w)], axis=1)
+    return packed[..., None]

@@ -346,34 +346,50 @@ class PreparedVideo:
     Frames are served from a one-GOP cache."""
 
     def __init__(self, video_path: str, cfg, bucket_hw,
-                 frames_mode: int | None = None):
+                 frames_mode: int | None = None,
+                 wire_fmt: str | None = None):
         """frames_mode: override the full-res policy — 0 ships every
         frame full-res (required by single-frame detectors like the RFCN
-        baseline), 1 key frames only; None picks by the key schedule."""
+        baseline), 1 key frames only; None picks by the key schedule.
+        wire_fmt: override cfg.tpu.frame_payload (loaders that must keep
+        one wire format across heterogeneous videos/lanes pass 'bgr8')."""
         self.reader = coviar.VideoReader(video_path)
         self.cfg = cfg
         self.bucket_hw = tuple(bucket_hw)
         self.num_frames = self.reader.num_frames
         self.frames_mode = frames_mode
+        self.wire_fmt = wire_fmt
         self._gop = -1
         self._cache = None
+
+    def _mode(self) -> int:
+        # key frames land on GOP starts when the key interval divides
+        # the GOP size — then only the key frame needs a full-res
+        # resize (frames_mode=1 skips 11/12 of the sws work; non-key
+        # frames ship small+MV+residual only)
+        if self.frames_mode is not None:
+            return self.frames_mode
+        return 1 if self.cfg.TEST.KEY_FRAME_INTERVAL % GOP_SIZE == 0 else 0
+
+    @property
+    def wire_format(self) -> str:
+        """The RESOLVED frame/small payload format this handle serves —
+        callers that mix prepared payloads with host-chain fallbacks must
+        match it (see data/image.py::bgr_to_i420)."""
+        # i420 wire format halves shipped bytes but only exists for
+        # the key-only decode mode (full-frame consumers need BGR)
+        if self._mode() != 1:
+            return "bgr8"
+        if self.wire_fmt is not None:
+            return self.wire_fmt
+        return getattr(self.cfg.tpu, "frame_payload", "bgr8")
 
     def gop(self, gop_idx: int):
         if gop_idx != self._gop:
             cfg = self.cfg
             target, max_size = cfg.SCALES[0]
-            # key frames land on GOP starts when the key interval divides
-            # the GOP size — then only the key frame needs a full-res
-            # resize (frames_mode=1 skips 11/12 of the sws work; non-key
-            # frames ship small+MV+residual only)
-            mode = self.frames_mode
-            if mode is None:
-                mode = 1 if cfg.TEST.KEY_FRAME_INTERVAL % GOP_SIZE == 0 else 0
-            # i420 wire format halves shipped bytes but only exists for
-            # the key-only decode mode (full-frame consumers need BGR)
-            fmt = getattr(cfg.tpu, "frame_payload", "bgr8")
-            if mode != 1:
-                fmt = "bgr8"
+            mode = self._mode()
+            fmt = self.wire_format
             small_src = getattr(cfg.tpu, "small_src", "bgr")
             res_src = getattr(cfg.tpu, "res_src", "bgr")
             if fmt != "i420":
@@ -469,12 +485,19 @@ class EvalLoader:
                     np.clip(np.round(im_r), 0, 255).astype(np.uint8)[None],
                     self.bucket_hw)
                 # 1/stride block-mean of the padded frame for the small net
-                from lsfa_tpu.data.image import small_pool_factor
+                from lsfa_tpu.data.image import bgr_to_i420, small_pool_factor
                 s = small_pool_factor(self.cfg.network.small_net_stride)
                 bh, bw = self.bucket_hw
                 small = np.clip(np.round(data.astype(np.float32).reshape(
                     1, bh // s, s, bw // s, s, 3).mean((2, 4))), 0,
                     255).astype(np.uint8)
+                if prep is not None and prep.wire_format == "i420":
+                    # keep the video's wire format uniform: the prepared
+                    # frames of this video shipped planar i420, so the
+                    # host-chain tail frames must too (one jitted program
+                    # per shape — a mid-video format flip would recompile)
+                    data = bgr_to_i420(data)
+                    small = bgr_to_i420(small)
                 if mv is None:
                     h, w = im.shape[:2]
                     mv = np.zeros((h, w, 2), np.float32)

@@ -160,7 +160,11 @@ def make_synth_vid_dataset(out_dir, n_videos=8, n_frames=60, seed=0,
     Cached: videos + a .pkl of the annotations keyed by the generator
     parameters; re-calling with the same arguments reuses them."""
     os.makedirs(out_dir, exist_ok=True)
-    tag = f"{split}_v{n_videos}_f{n_frames}_s{seed}"
+    # the tag must cover EVERY generator parameter: a partial key would
+    # silently serve cached clips of the wrong resolution/GOP/object count
+    size_tag = "x".join(f"{w}x{h}" for w, h in sizes)
+    tag = (f"{split}_v{n_videos}_f{n_frames}_s{seed}_g{gop_size}"
+           f"_o{min_objects}-{max_objects}_{size_tag}")
     cache = os.path.join(out_dir, f"{tag}.pkl")
     if os.path.exists(cache):
         with open(cache, "rb") as f:

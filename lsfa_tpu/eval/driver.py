@@ -87,25 +87,46 @@ def _gop_eval_reason(rec, cfg) -> str | None:
     return None
 
 
+def _load_det_cache(det_cache, log):
+    """Detection-cache pickle load (tester.py:204-208 role); None on miss."""
+    if det_cache and os.path.exists(det_cache):
+        with open(det_cache, "rb") as f:
+            log(f"loaded detection cache {det_cache}")
+            return pickle.load(f)
+    return None
+
+
+def _save_det_cache(det_cache, detections):
+    if det_cache:
+        os.makedirs(os.path.dirname(det_cache) or ".", exist_ok=True)
+        with open(det_cache, "wb") as f:
+            pickle.dump(detections, f, protocol=pickle.HIGHEST_PROTOCOL)
+
+
+def _frame_bases(video_roidb):
+    """Global frame index base per video rec (keyed by id(rec), original
+    order) + the total frame count."""
+    base = {}
+    acc = 0
+    for rec in video_roidb:
+        base[id(rec)] = acc
+        acc += rec["frame_seg_len"]
+    return base, acc
+
+
 def eval_videos(model, variables, cfg, video_roidb, det_cache: str | None = None,
                 logger=None, max_frames: int | None = None):
     """Run streaming detection over videos (bucketed by orientation).
     Returns {global_frame_idx -> {labels, scores, boxes}} detections,
     indexed in the original video_roidb frame order."""
     log = logger.info if logger else print
-    if det_cache and os.path.exists(det_cache):
-        with open(det_cache, "rb") as f:
-            log(f"loaded detection cache {det_cache}")
-            return pickle.load(f)
+    cached = _load_det_cache(det_cache, log)
+    if cached is not None:
+        return cached
 
     from lsfa_tpu.data.prefetch import DevicePrefetcher
 
-    # global frame index base per video (original order)
-    base = {}
-    acc = 0
-    for i, rec in enumerate(video_roidb):
-        base[id(rec)] = acc
-        acc += rec["frame_seg_len"]
+    base, acc = _frame_bases(video_roidb)
 
     timer = PhaseTimer()
     detections = {}
@@ -204,10 +225,7 @@ def eval_videos(model, variables, cfg, video_roidb, det_cache: str | None = None
                 if max_frames is not None and frame_counter >= max_frames:
                     break
     log(timer.summary())
-    if det_cache:
-        os.makedirs(os.path.dirname(det_cache) or ".", exist_ok=True)
-        with open(det_cache, "wb") as f:
-            pickle.dump(detections, f, protocol=pickle.HIGHEST_PROTOCOL)
+    _save_det_cache(det_cache, detections)
     return detections
 
 
@@ -223,16 +241,11 @@ def eval_videos_rfcn(model, variables, cfg, video_roidb,
     from lsfa_tpu.eval.tester import collect_detections
 
     log = logger.info if logger else print
-    if det_cache and os.path.exists(det_cache):
-        with open(det_cache, "rb") as f:
-            log(f"loaded detection cache {det_cache}")
-            return pickle.load(f)
+    cached = _load_det_cache(det_cache, log)
+    if cached is not None:
+        return cached
 
-    base = {}
-    acc = 0
-    for rec in video_roidb:
-        base[id(rec)] = acc
-        acc += rec["frame_seg_len"]
+    base, acc = _frame_bases(video_roidb)
 
     timer = PhaseTimer()
     detections = {}
@@ -255,16 +268,13 @@ def eval_videos_rfcn(model, variables, cfg, video_roidb,
             if max_frames is not None and frame_counter >= max_frames:
                 break
     log(timer.summary())
-    if det_cache:
-        os.makedirs(os.path.dirname(det_cache) or ".", exist_ok=True)
-        with open(det_cache, "wb") as f:
-            pickle.dump(detections, f, protocol=pickle.HIGHEST_PROTOCOL)
+    _save_det_cache(det_cache, detections)
     return detections
 
 
 def eval_videos_lanes(model, variables, cfg, video_roidb, lanes: int,
                       det_cache: str | None = None, logger=None,
-                      mesh=None):
+                      mesh=None, max_frames: int | None = None):
     """Multi-lane (and optionally mesh-sharded) mAP-path evaluation:
     `lanes` video streams run in lockstep as one batched program per
     bucket group, detections merged back to the GLOBAL frame order of
@@ -275,34 +285,36 @@ def eval_videos_lanes(model, variables, cfg, video_roidb, lanes: int,
     from lsfa_tpu.eval.multistream import eval_videos_multistream
 
     log = logger.info if logger else print
-    if det_cache and os.path.exists(det_cache):
-        with open(det_cache, "rb") as f:
-            log(f"loaded detection cache {det_cache}")
-            return pickle.load(f)
+    cached = _load_det_cache(det_cache, log)
+    if cached is not None:
+        return cached
 
-    base = {}
-    acc = 0
-    for rec in video_roidb:
-        base[id(rec)] = acc
-        acc += rec["frame_seg_len"]
+    base, acc = _frame_bases(video_roidb)
 
     detections = {}
+    budget = max_frames
     for bucket, recs in group_videos_by_bucket(video_roidb, cfg).items():
+        if budget is not None and budget <= 0:
+            log(f"bucket {bucket}: skipped (max_frames reached)")
+            continue
         log(f"bucket {bucket}: {len(recs)} videos over {lanes} lanes")
+        # lanes run lockstep, so the frame cap translates to a step cap
+        # (each step advances every lane one frame)
+        max_steps = (None if budget is None
+                     else max(1, -(-budget // lanes)))
         lane_dets = eval_videos_multistream(
             model, variables, cfg, recs, lanes=lanes, logger=logger,
-            mesh=mesh, bucket_hw=bucket)
+            mesh=mesh, bucket_hw=bucket, max_steps=max_steps)
+        if budget is not None:
+            budget -= len(lane_dets)
         for (vi, fid), det in lane_dets.items():
             gidx = base[id(recs[vi])] + fid
             if fid < recs[vi]["frame_seg_len"]:
                 detections[gidx] = det
     missing = acc - len(detections)
-    if missing:
+    if missing and max_frames is None:
         log(f"WARNING: {missing} frames produced no detections record")
-    if det_cache:
-        os.makedirs(os.path.dirname(det_cache) or ".", exist_ok=True)
-        with open(det_cache, "wb") as f:
-            pickle.dump(detections, f, protocol=pickle.HIGHEST_PROTOCOL)
+    _save_det_cache(det_cache, detections)
     return detections
 
 

@@ -61,8 +61,20 @@ class MultiStreamEvalLoader:
                                               self.interval)
         self.n_steps = max(len(p) for p in self.playlists)
         self._prepared: dict = {}     # video_path -> PreparedVideo
-        from lsfa_tpu.data.loader import payload_dtype
+        from lsfa_tpu.data.loader import payload_dtype, prepared_available
         self._dtype = payload_dtype(cfg)
+        # ONE wire format for every lane and step: lanes run lockstep
+        # through np.concatenate and one jitted program, so mixing i420
+        # prepared payloads with BGR fallbacks (JPEG-only recs, streams
+        # shorter than frame_seg_len) must be impossible. i420 only when
+        # every rec can serve prepared payloads; short-stream tail frames
+        # are PACKED to i420 (data/image.py::bgr_to_i420).
+        self._wire = "bgr8"
+        if (getattr(cfg.tpu, "frame_payload", "bgr8") == "i420"
+                and cfg.TEST.KEY_FRAME_INTERVAL % GOP_SIZE == 0
+                and prepared_available()
+                and all(rec.get("video_path") for rec in video_roidb)):
+            self._wire = "i420"
 
     def _prepared_frame(self, rec, fid):
         """C++ data-plane fast path; None when unavailable for this rec."""
@@ -79,7 +91,8 @@ class MultiStreamEvalLoader:
             # keep at most one per lane plus slack
             if len(self._prepared) >= 2 * self.lanes:
                 self._prepared.pop(next(iter(self._prepared)))
-            pv = PreparedVideo(video, self.cfg, self.bucket_hw)
+            pv = PreparedVideo(video, self.cfg, self.bucket_hw,
+                               wire_fmt=self._wire)
             self._prepared[video] = pv
         if fid >= pv.num_frames:
             return None
@@ -139,6 +152,12 @@ class MultiStreamEvalLoader:
                 small = np.clip(np.round(data.astype(np.float32).reshape(
                     1, bh // s, s, bw // s, s, 3).mean((2, 4))), 0,
                     255).astype(np.uint8)
+                if self._wire == "i420":
+                    # short-stream tail frame in an i420 run: pack so the
+                    # lane batch keeps one shape (see __init__)
+                    from lsfa_tpu.data.image import bgr_to_i420
+                    data = bgr_to_i420(data)
+                    small = bgr_to_i420(small)
                 mv_t, res_t = transform_mv_res(
                     mv, res, im_scale, cfg.network.PIXEL_MEANS,
                     cfg.network.PIXEL_SCALE,

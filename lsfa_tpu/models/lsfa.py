@@ -148,7 +148,12 @@ class LSFA(nn.Module):
         """Planar I420 (..., H*3/2, W) u8 -> normalized RGB f32 (..., H,
         W, 3). Matches swscale's MPEG-4 default (BT.601 limited range,
         nearest chroma upsampling); the C plane pads with Y=16 U=V=128 so
-        the pad region converts to EXACT zeros, same as the BGR path."""
+        the pad region converts to exact zeros like the BGR path — except
+        the FIRST pad column/row when the scaled content width/height is
+        odd: that pad texel shares its 4:2:0 chroma sample with the last
+        content pixel (zeroing it would corrupt content chroma instead),
+        so it converts to a chroma-only value. One texel wide, bounded by
+        test_payload_fmt.py::test_i420_odd_width_pad_boundary."""
         h = packed.shape[-2] * 2 // 3
         w = packed.shape[-1]
         lead = packed.shape[:-2]

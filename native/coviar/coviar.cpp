@@ -165,6 +165,10 @@ void frame_to_bgr(const AVFrame* frm, uint8_t* out, int w, int hgt) {
     sws_freeContext(sws);
 }
 
+inline int16_t sat16(int v) {
+    return (int16_t)std::min(32767, std::max(-32768, v));
+}
+
 inline int clampi(int v, int lo, int hi) {
     return v < lo ? lo : (v > hi ? hi : v);
 }
@@ -178,8 +182,12 @@ inline int clampi(int v, int lo, int hi) {
 // Memory traffic is proportional to the UNCOVERED area only: 8x8 cells a
 // single block fully covers skip the copy (exact for any block geometry
 // — partially covered cells are copied first, then overwritten), and
-// in-bounds block rows read prev_acc contiguously. int16 holds the chain
-// easily (<= GOP_SIZE * max-MV << 32767) and halves the bytes moved.
+// in-bounds block rows read prev_acc contiguously. int16 halves the bytes
+// moved and holds any chain a sane stream produces (12-frame GOPs with
+// fcode-7 MVs peak ~24K); the adds SATURATE so an adversarial stream
+// (arbitrary GOP length via the --clip bench or user eval data) degrades
+// to a clamped displacement instead of wrapping into garbage — past
+// +-32767 px the warp source is off-frame either way.
 void accumulate_mv_from_frame(const AVFrame* frm, const int16_t* prev_acc,
                               int16_t* acc, int w, int hgt,
                               std::vector<uint8_t>& cov) {
@@ -231,16 +239,16 @@ void accumulate_mv_from_frame(const AVFrame* frm, const int16_t* prev_acc,
                 const int16_t* p =
                     prev_acc + ((size_t)sy * w + (x0 - dx)) * 2;
                 for (int x = x0; x < x1; x++, o += 2, p += 2) {
-                    o[0] = (int16_t)(dx + p[0]);
-                    o[1] = (int16_t)(dy + p[1]);
+                    o[0] = sat16(dx + p[0]);
+                    o[1] = sat16(dy + p[1]);
                 }
             } else {
                 for (int x = x0; x < x1; x++, o += 2) {
                     int sx = clampi(x - dx, 0, w - 1);
                     const int16_t* p =
                         prev_acc + ((size_t)sy * w + sx) * 2;
-                    o[0] = (int16_t)(dx + p[0]);
-                    o[1] = (int16_t)(dy + p[1]);
+                    o[0] = sat16(dx + p[0]);
+                    o[1] = sat16(dy + p[1]);
                 }
             }
         }

@@ -244,6 +244,12 @@ def test_multilane_launcher_equivalence(two_video_env, tiny_model):
     map3, _ = evaluate_map(d3, ds, video_roidb, logger=logger)
     assert abs(map1 - map3) < 2e-3
 
+    # --max-frames must cap the lane path too (it silently evaluated the
+    # whole dataset before): 2 lanes x ceil(8/2) steps -> ~8 frames
+    dcap = eval_videos_lanes(model, variables, cfg, video_roidb, lanes=2,
+                             logger=logger, max_frames=8)
+    assert 0 < len(dcap) <= 12, len(dcap)
+
     # and the launcher's single-lane GOP path agrees on mAP
     dets_gop = eval_videos(model, variables, cfg, video_roidb,
                            logger=logger)

@@ -272,3 +272,108 @@ def test_res_src_validated():
         finally:
             if r is not None:
                 r.close()
+
+
+def test_bgr_to_i420_matches_device_converter():
+    """Host packer (fallback-frame format consistency) must be the
+    inverse of the device conversion: smooth content roundtrips tightly,
+    zero padding roundtrips to EXACT zeros."""
+    from lsfa_tpu.data.image import bgr_to_i420
+
+    h, w = 32, 48
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    smooth = np.stack([40 + 3.1 * xx, 90 + 2.2 * yy,
+                       120 + 1.1 * (xx + yy)], axis=-1)
+    frame = np.clip(smooth, 0, 255).astype(np.uint8)[None]
+    frame[:, 24:, :, :] = 0          # zero pad rows
+    frame[:, :, 40:, :] = 0          # zero pad cols (even boundaries)
+    packed = bgr_to_i420(frame)
+    assert packed.shape == (1, h * 3 // 2, w, 1)
+    rgb = _yuv_to_rgb(packed[0, :, :, 0])
+    want = frame[0, :, :, ::-1].astype(np.float64)      # BGR -> RGB
+    # content: chroma-subsampling error only (slowly varying chroma)
+    assert np.abs(rgb[:24, :40] - want[:24, :40]).max() <= 4.0
+    # pad: exact zeros after the device conversion
+    assert np.abs(rgb[24:, :]).max() == 0.0
+    assert np.abs(rgb[:, 40:]).max() == 0.0
+
+
+def test_multistream_loader_uniform_wire_format(tmp_path):
+    """Lane-batched loader with i420 payloads must keep ONE wire format
+    when a video's frame_seg_len exceeds the stream (the reference hits
+    this on every real video's last frame, lib/utils/image.py:45-55):
+    the tail frame is packed to i420 instead of crashing np.concatenate
+    with a (bh,bw,3) BGR odd-one-out."""
+    from PIL import Image
+
+    from lsfa_tpu.config import get_default_config
+    from lsfa_tpu.eval.multistream import MultiStreamEvalLoader
+
+    cfg = get_default_config()
+    cfg.SCALES = [(TARGET, MAXSZ)]
+    cfg.tpu.default_bucket = list(BUCKET)
+    cfg.tpu.frame_payload = "i420"
+    cfg.TEST.KEY_FRAME_INTERVAL = 12
+
+    roidb = []
+    for i, extra in enumerate((0, 1)):     # video 1: seg_len = frames + 1
+        vp = str(tmp_path / f"v{i}.mp4")
+        coviar.encode_test_video(vp, n_frames=24, w=W, h=H, gop_size=12,
+                                 seed=i)
+        jdir = tmp_path / f"jpg{i}"
+        jdir.mkdir()
+        for fid in range(24 + extra):
+            Image.fromarray(np.full((H, W, 3), 50 + 7 * fid,
+                                    np.uint8)).save(jdir / f"{fid:06d}.JPEG")
+        roidb.append({"frame_seg_len": 24 + extra, "video_path": vp,
+                      "pattern": str(jdir / "%06d.JPEG")})
+
+    loader = MultiStreamEvalLoader(roidb, cfg, lanes=2, bucket_hw=BUCKET)
+    assert loader._wire == "i420"
+    n = 0
+    for item in loader:
+        assert item["data"].shape == (2, BUCKET[0] * 3 // 2, BUCKET[1], 1)
+        assert item["small"].shape[-1] == 1
+        n += 1
+    assert n == loader.n_steps
+
+    # a JPEG-only rec forces ONE format for every lane: bgr8
+    roidb_mixed = [roidb[0],
+                   {"frame_seg_len": 4, "video_path": None,
+                    "pattern": roidb[1]["pattern"]}]
+    loader = MultiStreamEvalLoader(roidb_mixed, cfg, lanes=2,
+                                   bucket_hw=BUCKET)
+    assert loader._wire == "bgr8"
+    item = next(iter(loader))
+    assert item["data"].shape == (2, BUCKET[0], BUCKET[1], 3)
+
+
+def test_i420_odd_width_pad_boundary(clip):
+    """Odd scaled content width (sw=103 here): 4:2:0 chroma sharing means
+    the FIRST pad column shares its chroma sample with the last content
+    column — it cannot be exact zero without corrupting content chroma.
+    Pin the honest contract: that one column is bounded (chroma-only,
+    Y=16), every pad column beyond it is EXACTLY zero."""
+    import jax.numpy as jnp
+
+    from lsfa_tpu.models.lsfa import lsfa_from_config
+
+    cfg = load_config("configs/lsfa_tiny_smoke.yaml")
+    model = lsfa_from_config(cfg)
+    frames, _, _, _, info = _decode(clip, "i420")
+    sh, sw = int(info[0]), int(info[1])
+    assert sw % 2 == 1, "fixture must exercise an odd content width"
+    bh, bw = BUCKET
+    out = np.asarray(model.apply({"params": {}}, jnp.asarray(frames[0:1]),
+                                 method=model.preprocess))[0]
+    means_rgb = np.asarray(cfg.network.PIXEL_MEANS, np.float32)[::-1]
+    pad_expected = ((0.0 - means_rgb) * cfg.network.PIXEL_SCALE
+                    ).astype(np.float32)
+    # beyond the shared-chroma column: exact zeros
+    np.testing.assert_array_equal(
+        out[:sh, sw + 1:],
+        np.broadcast_to(pad_expected, (sh, bw - sw - 1, 3)))
+    # the shared column: Y=16 (luma-zero), chroma bleeds from content --
+    # bounded by the BT.601 chroma range (|cb|,|cr| <= 112 around 128)
+    dev = np.abs(out[:sh, sw] - pad_expected).max()
+    assert dev <= 230.0 * cfg.network.PIXEL_SCALE, dev

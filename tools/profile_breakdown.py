@@ -134,6 +134,33 @@ def main():
     print(f"psroi pool (cls)  : {timeit(pool, cls_map, rois):7.2f} ms")
     print(f"30-class nms      : {timeit(class_nms, boxes, scores):7.2f} ms")
 
+    # production shapes: nms_tier as configured, batched like the scan
+    tier = int(cfg.tpu.nms_tier)
+
+    @jax.jit
+    def prop_tier(fg, deltas):
+        return rpn_proposals(fg, deltas, anchors, im_info,
+                             pre_nms_top_n=cfg.TEST.RPN_PRE_NMS_TOP_N,
+                             nms_tier=tier)
+
+    from lsfa_tpu.eval.detector import detect_single
+
+    def det_one(fg, dl, cm, bm):
+        return detect_single(fg, dl, cm, bm, anchors, im_info,
+                             num_classes=31,
+                             pre_nms=cfg.TEST.RPN_PRE_NMS_TOP_N,
+                             nms_tier=tier)
+
+    det12 = jax.jit(jax.vmap(det_one))
+    fg12 = jnp.tile(fg[None], (12, 1, 1, 1))
+    dl12 = jnp.tile(deltas[None], (12, 1, 1, 1))
+    cm12 = jnp.tile(cls_map[None], (12, 1, 1, 1))
+    bbox_map = jax.device_put(jnp.asarray(
+        rnd.normal(0, 1, (fh, fw, 8 * 49)).astype(np.float32)))
+    bm12 = jnp.tile(bbox_map[None], (12, 1, 1, 1))
+    print(f"prop+nms tier{tier} : {timeit(prop_tier, fg, deltas):7.2f} ms")
+    print(f"det x12 (tier)    : {timeit(det12, fg12, dl12, cm12, bm12):7.2f} ms")
+
 
 if __name__ == "__main__":
     main()
