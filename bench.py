@@ -89,6 +89,9 @@ def run_real(clip: str | None = None) -> dict:
 
     pv = PreparedVideo(clip, cfg, bucket)
     n_gops = min(N_GOPS, pv.num_frames // 12) if clip != CLIP else N_GOPS
+    if n_gops == 0:
+        sys.exit(f"clip too short: {pv.num_frames} frames "
+                 f"(< one 12-frame GOP) in {clip}")
     # Device program: process_gops (lax.scan over GOPs) — the SAME program
     # the device-only mode uses. Windows of G GOPs feed the scan program;
     # G=2 balances pipelining against latency (override with --gops N

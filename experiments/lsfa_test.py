@@ -39,8 +39,19 @@ def run_test(cfg, params=None, batch_stats=None, ckpt_dir=None,
         cfg.TEST.SCORE_THRESH = float(thresh)
     model, init_params, init_bs = init_model(cfg)
     if params is None:
+        if not ckpt_dir:
+            # reference layout: test.py:57 loads <train-image-set dir>/
+            # <TRAIN.model_prefix> at epoch TEST.test_epoch
+            cand = os.path.join(
+                os.path.dirname(out_dir),
+                "_".join(cfg.dataset.image_set.split("+")),
+                "checkpoints", cfg.TRAIN.model_prefix)
+            if os.path.isdir(cand):
+                ckpt_dir = cand
         if ckpt_dir:
-            restored, step = load_checkpoint(ckpt_dir)
+            # TEST.test_epoch selects the checkpoint (0 = latest)
+            epoch = int(cfg.TEST.test_epoch) or None
+            restored, step = load_checkpoint(ckpt_dir, epoch=epoch)
             params = restored["params"]
             batch_stats = restored.get("batch_stats", init_bs)
             logger.info(f"loaded checkpoint epoch {step}")

@@ -228,6 +228,34 @@ def get_default_config() -> AttrDict:
 
 def _finalize(c: AttrDict) -> None:
     c.network.NUM_ANCHORS = len(c.network.ANCHOR_SCALES) * len(c.network.ANCHOR_RATIOS)
+    # Knobs kept for reference-YAML compatibility whose only supported
+    # value is the default — loudly reject settings that would otherwise
+    # be silently ignored:
+    if c.network.IMAGE_STRIDE != 0:
+        # reference pads the resized image to IMAGE_STRIDE multiples
+        # (lib/utils/image.py:66); here bucket padding supersedes it and
+        # every bucket is already a stride-32 multiple
+        raise NotImplementedError(
+            "network.IMAGE_STRIDE != 0 is unsupported: bucket padding "
+            "replaces stride padding (tpu.image_buckets)")
+    if c.TRAIN.RPN_POSITIVE_WEIGHT != -1.0:
+        # docstring-only even in the reference (lib/rpn/rpn.py:139 —
+        # no code consumes it); -1 means uniform weighting
+        raise NotImplementedError(
+            "TRAIN.RPN_POSITIVE_WEIGHT is not implemented (the reference "
+            "never consumes it either); only the -1.0 default is valid")
+    if not c.TRAIN.END2END:
+        # the alternate-phase RPN/RCNN trainers (function/train_rpn.py)
+        # are dead code in the reference — no entry point reaches them
+        raise NotImplementedError(
+            "TRAIN.END2END=false (alternate-phase training) is legacy "
+            "dead code in the reference and is not carried over")
+    if not c.TEST.HAS_RPN:
+        # external-proposal eval (core/tester.py:137 rois-from-data) only
+        # exists for the legacy test_rpn flow; all live recipes use RPN
+        raise NotImplementedError(
+            "TEST.HAS_RPN=false (pre-computed proposals) is not "
+            "supported; all shipped recipes generate proposals with RPN")
 
 
 def _merge(dst: AttrDict, src: dict, path: str = "") -> None:

@@ -99,6 +99,9 @@ def _lib():
             ctypes.POINTER(ctypes.c_uint8),
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_float)]
+    if hasattr(lib, "coviar_last_error"):
+        lib.coviar_last_error.restype = ctypes.c_char_p
+        lib.coviar_last_error.argtypes = [ctypes.c_void_p]
     if hasattr(lib, "coviar_prof_read"):
         lib.coviar_prof_read.restype = None
         lib.coviar_prof_read.argtypes = [
@@ -149,6 +152,15 @@ class VideoReader:
     def gop_frames(self, gop_idx: int) -> int:
         return self._lib.coviar_gop_frames(self._h, gop_idx)
 
+    def _err(self) -> str:
+        """Native-side diagnostic for the last failed call (': msg' suffix
+        for IOError text; '' if the .so predates coviar_last_error)."""
+        if not hasattr(self._lib, "coviar_last_error") or not self._h:
+            return ""
+        msg = self._lib.coviar_last_error(self._h)
+        msg = msg.decode(errors="replace") if msg else ""
+        return f": {msg}" if msg else ""
+
     #: stage labels for prof_read (see Handle::prof in coviar.cpp)
     PROF_STAGES = ("demux+avcodec", "frame_to_bgr", "mv_accumulate",
                    "full_payload", "small_payload", "mv_res_grids")
@@ -183,7 +195,8 @@ class VideoReader:
                 mv.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
                 res.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n)
             if got != n:
-                raise IOError(f"decoded {got}/{n} frames of gop {gop_idx}")
+                raise IOError(f"decoded {got}/{n} frames of gop "
+                              f"{gop_idx}{self._err()}")
             self._cache_gop = gop_idx
             self._cache = (bgr, mv, res)
             return self._cache
@@ -223,6 +236,14 @@ class VideoReader:
         fh, fw = bh // stride, bw // stride
         sbh, sbw = bh // small_factor, bw // small_factor
         fmt = {"bgr8": 0, "i420": 1}[payload_fmt]
+        if (small_src == "yuv" or res_src == "yuv") and payload_fmt != "i420":
+            # the C plane refuses this combination too (rc -9), but a
+            # ValueError here beats an opaque IOError from deep in ctypes
+            raise ValueError("small_src/res_src 'yuv' require "
+                             f"payload_fmt='i420', got {payload_fmt!r}")
+        if payload_fmt == "i420" and frames_mode != 1:
+            raise ValueError("payload_fmt='i420' requires frames_mode=1 "
+                             "(key-only full frames)")
         if small_src == "yuv":
             # bit 4: smalls scaled straight from the decoder's YUV planes
             # (skips the YUV->BGR->YUV round trip; i420-only, ~1 ms/f)
@@ -272,7 +293,8 @@ class VideoReader:
             else:
                 got = lib.coviar_decode_gop_prepared_mode(*args, *tail)
             if got != n:
-                raise IOError(f"prepared-decoded {got}/{n} of gop {gop_idx}")
+                raise IOError(f"prepared-decoded {got}/{n} of gop "
+                              f"{gop_idx}{self._err()}")
             return frames, smalls, mv, res, info
 
 
@@ -309,8 +331,8 @@ class VideoReader:
                 mv.ctypes.data_as(f32p), res.ctypes.data_as(f32p),
                 info.ctypes.data_as(f32p))
             if rc < 0:
-                raise IOError(
-                    f"train-sample decode failed rc={rc} (frame {cur_id})")
+                raise IOError(f"train-sample decode failed rc={rc} "
+                              f"(frame {cur_id}){self._err()}")
             return data, ref, old, mv, res, info, rc   # rc = pos in GOP
 
 

@@ -447,13 +447,17 @@ class EvalLoader:
         fb = (self.bucket_hw[0] // 16, self.bucket_hw[1] // 16)
         for vid_idx, rec in enumerate(self.roidb):
             n = rec["frame_seg_len"]
+            # partial-GOP tail recs from the GOP-scan driver: skip the
+            # frames the scan already covered instead of decoding the
+            # whole video again just to drop its prefix
+            start = int(rec.get("_tail_start", 0))
             video = rec.get("video_path")
             use_video = video is not None and coviar.available()
             prep = (PreparedVideo(video, cfg, self.bucket_hw,
                                   frames_mode=0 if self.full_frames
                                   else None)
                     if use_video and prepared_available() else None)
-            for fid in range(n):
+            for fid in range(start, n):
                 if fid == 0:
                     flag = 0
                 elif fid % self.key_interval == 0:

@@ -29,42 +29,57 @@ from lsfa_tpu.ops.psroi_pool import psroi_pool
 
 
 @partial(jax.jit, static_argnames=("num_classes", "max_per_image", "nms_thresh",
-                                   "score_thresh", "bbox_stds", "bbox_means"))
+                                   "score_thresh", "bbox_stds", "bbox_means",
+                                   "num_reg_classes"))
 def postprocess_detections(cls_prob, bbox_deltas, rois, roi_valid, im_info,
                            num_classes: int, max_per_image: int = 300,
                            nms_thresh: float = 0.3, score_thresh: float = 1e-3,
                            bbox_stds=(0.1, 0.1, 0.2, 0.2),
-                           bbox_means=(0.0, 0.0, 0.0, 0.0)):
-    """Single image. cls_prob: (R, C) softmax scores; bbox_deltas: (R, 8)
-    normalized class-agnostic deltas; rois: (R, 5); im_info: (3,).
+                           bbox_means=(0.0, 0.0, 0.0, 0.0),
+                           num_reg_classes: int = 2):
+    """Single image. cls_prob: (R, C) softmax scores; bbox_deltas:
+    (R, 4*num_reg_classes) normalized deltas (class-agnostic fg slot 1
+    when num_reg_classes == 2, else one slot per class); rois: (R, 5);
+    im_info: (3,).
 
     Returns (max_per_image, 6) [label, score, x1, y1, x2, y2] in ORIGINAL
     image coordinates + validity mask (max_per_image,).
     """
     r = rois.shape[0]
-    # un-normalize the fg slot and decode (explicit replacement for the
-    # reference's baked *_test weights)
+    # un-normalize every regression slot and decode (explicit replacement
+    # for the reference's baked *_test weights)
     stds = jnp.asarray(bbox_stds, jnp.float32)
     means = jnp.asarray(bbox_means, jnp.float32)
-    fg_deltas = bbox_deltas[:, 4:8] * stds + means
-    boxes = bbox_pred(rois[:, 1:5], fg_deltas)
-    boxes = clip_boxes(boxes, im_info[:2])
-    boxes = boxes / im_info[2]                       # back to original coords
+    deltas = bbox_deltas.reshape(r, num_reg_classes, 4) * stds + means
 
-    def per_class(c_scores):
+    def decode_slot(d):
+        b = bbox_pred(rois[:, 1:5], d)
+        b = clip_boxes(b, im_info[:2])
+        return b / im_info[2]                        # back to original coords
+
+    boxes_all = jax.vmap(decode_slot, in_axes=1)(deltas)  # (num_reg, R, 4)
+
+    def per_class(c_scores, c_boxes):
         ok = roi_valid & (c_scores > score_thresh)
-        keep_idx, keep_valid = nms_fixed(boxes, c_scores, nms_thresh,
+        keep_idx, keep_valid = nms_fixed(c_boxes, c_scores, nms_thresh,
                                          max_per_image, valid=ok)
         return keep_idx, keep_valid
 
-    # classes 1..C-1 (skip background)
+    # classes 1..C-1 (skip background); each fg class scores against its
+    # regression slot (slot 1 for all classes when agnostic)
     fg_scores = cls_prob[:, 1:].T                    # (C-1, R)
-    keep_idx, keep_valid = jax.vmap(per_class)(fg_scores)   # (C-1, M)
+    if num_reg_classes == 2:
+        cls_boxes = jnp.broadcast_to(boxes_all[1][None],
+                                     (num_classes - 1, r, 4))
+    else:
+        cls_boxes = boxes_all[1:]
+    keep_idx, keep_valid = jax.vmap(per_class)(fg_scores, cls_boxes)
     c_minus1, m = keep_idx.shape
     labels = jnp.broadcast_to(jnp.arange(1, num_classes)[:, None], (c_minus1, m))
     scores = jnp.take_along_axis(fg_scores, keep_idx, axis=1)
     scores = jnp.where(keep_valid, scores, -1.0)
-    flat_boxes = boxes[keep_idx.reshape(-1)].reshape(c_minus1, m, 4)
+    flat_boxes = jnp.take_along_axis(
+        cls_boxes, keep_idx[:, :, None], axis=1)     # (C-1, M, 4)
 
     # global top max_per_image across classes (tester.py:276-281)
     flat_scores = scores.reshape(-1)
@@ -84,7 +99,7 @@ def detect_single(rpn_fg, rpn_deltas, cls_map, bbox_map, anchors, im_info,
                   feat_stride: int = 16, max_per_image: int = 300,
                   nms_thresh: float = 0.3, score_thresh: float = 1e-3,
                   bbox_stds=(0.1, 0.1, 0.2, 0.2), nms_tier: int = 0,
-                  group_size: int = 7):
+                  group_size: int = 7, num_reg_classes: int = 2):
     """Single-image (unbatched maps) detection pipeline. vmap-friendly."""
     rois, _, roi_valid = rpn_proposals(
         rpn_fg, rpn_deltas, anchors, im_info,
@@ -94,7 +109,7 @@ def detect_single(rpn_fg, rpn_deltas, cls_map, bbox_map, anchors, im_info,
     pooled_cls = psroi_pool(cls_map, rois, output_dim=num_classes,
                             group_size=group_size, pooled_size=group_size,
                             spatial_scale=1.0 / feat_stride)
-    pooled_bbox = psroi_pool(bbox_map, rois, output_dim=8,
+    pooled_bbox = psroi_pool(bbox_map, rois, output_dim=4 * num_reg_classes,
                              group_size=group_size, pooled_size=group_size,
                              spatial_scale=1.0 / feat_stride)
     cls_scores = jnp.mean(pooled_cls, axis=(1, 2))
@@ -104,7 +119,7 @@ def detect_single(rpn_fg, rpn_deltas, cls_map, bbox_map, anchors, im_info,
         cls_prob, bbox_deltas, rois, roi_valid, im_info,
         num_classes=num_classes, max_per_image=max_per_image,
         nms_thresh=nms_thresh, score_thresh=score_thresh,
-        bbox_stds=bbox_stds)
+        bbox_stds=bbox_stds, num_reg_classes=num_reg_classes)
 
 
 def detect_from_maps(out, anchors, im_info, **kw):

@@ -302,11 +302,15 @@ def eval_videos_lanes(model, variables, cfg, video_roidb, lanes: int,
         # (each step advances every lane one frame)
         max_steps = (None if budget is None
                      else max(1, -(-budget // lanes)))
+        stats: dict = {}
         lane_dets = eval_videos_multistream(
             model, variables, cfg, recs, lanes=lanes, logger=logger,
-            mesh=mesh, bucket_hw=bucket, max_steps=max_steps)
+            mesh=mesh, bucket_hw=bucket, max_steps=max_steps, stats=stats)
         if budget is not None:
-            budget -= len(lane_dets)
+            # charge by device work (steps x lanes incl. idle-lane
+            # padding), not unique frames — otherwise short buckets with
+            # idle lanes let later buckets blow past max_frames
+            budget -= stats.get("steps", 0) * lanes
         for (vi, fid), det in lane_dets.items():
             gidx = base[id(recs[vi])] + fid
             if fid < recs[vi]["frame_seg_len"]:

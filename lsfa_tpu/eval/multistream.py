@@ -187,13 +187,17 @@ class MultiStreamEvalLoader:
 def eval_videos_multistream(model, variables, cfg, video_roidb,
                             lanes: int = 4, logger=None,
                             max_steps: int | None = None, mesh=None,
-                            bucket_hw=None):
+                            bucket_hw=None, stats: dict | None = None):
     """Lane-batched streaming detection. Returns
     {(video_idx, frame_id) -> {labels, scores, boxes}}.
 
     mesh: shard the lane axis over a device mesh (lanes % mesh size == 0)
     — multi-chip inference DP, replacing the reference's per-GPU process
-    sharding (function/test_rcnn.py:69-75)."""
+    sharding (function/test_rcnn.py:69-75).
+
+    stats: optional dict that receives {"steps": N} — the lockstep steps
+    actually run (each = `lanes` frames of device work incl. idle-lane
+    padding), so callers with a frame budget can charge real work."""
     from lsfa_tpu.data.prefetch import DevicePrefetcher
 
     log = logger.info if logger else print
@@ -205,7 +209,9 @@ def eval_videos_multistream(model, variables, cfg, video_roidb,
                               bucket_hw=(h, w)), depth=2,
         keys=("data", "small", "motion_vector", "res_diff", "im_info"))
     detections = {}
+    steps_run = 0
     for step, item in enumerate(loader):
+        steps_run = step + 1
         d, v = det.process_frame(
             item["data"], item["im_info"], item["motion_vector"],
             item["res_diff"], flag=item["flag"], small=item["small"],
@@ -221,5 +227,7 @@ def eval_videos_multistream(model, variables, cfg, video_roidb,
                 "boxes": dl[:, 2:6]}
         if max_steps is not None and step + 1 >= max_steps:
             break
+    if stats is not None:
+        stats["steps"] = steps_run
     log(f"multistream eval: {len(detections)} frames over {lanes} lanes")
     return detections

@@ -19,6 +19,7 @@ def rfcn_from_config(cfg):
     n = cfg.network
     return RFCN(
         num_classes=cfg.dataset.NUM_CLASSES,
+        num_reg_classes=2 if cfg.CLASS_AGNOSTIC else cfg.dataset.NUM_CLASSES,
         feat_dim=n.DFF_FEAT_DIM,
         num_layer=n.num_layer,
         num_anchors=n.NUM_ANCHORS,
@@ -54,6 +55,8 @@ class RFCNDetector:
             score_thresh=cfg.TEST.SCORE_THRESH,
             bbox_stds=tuple(cfg.TRAIN.BBOX_STDS),
             nms_tier=cfg.tpu.nms_tier,
+            num_reg_classes=(2 if cfg.CLASS_AGNOSTIC
+                             else cfg.dataset.NUM_CLASSES),
         )
 
         @jax.jit

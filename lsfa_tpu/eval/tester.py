@@ -75,6 +75,8 @@ class StreamingDetector:
             score_thresh=cfg.TEST.SCORE_THRESH,
             bbox_stds=tuple(cfg.TRAIN.BBOX_STDS),
             nms_tier=cfg.tpu.nms_tier,
+            num_reg_classes=(2 if cfg.CLASS_AGNOSTIC
+                             else cfg.dataset.NUM_CLASSES),
         )
 
         @jax.jit

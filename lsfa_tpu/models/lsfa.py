@@ -32,6 +32,9 @@ from lsfa_tpu.ops.warp import flow_warp
 
 class LSFA(nn.Module):
     num_classes: int = 31
+    # regression classes: 2 when CLASS_AGNOSTIC (bg + one fg set,
+    # resnet_v1_101_flownet_rfcn.py:281), else num_classes
+    num_reg_classes: int = 2
     feat_dim: int = 1024
     num_layer: int = 101
     nettype: str = "resnet"        # resnet | mobilenet | mobilenet_hobot
@@ -121,7 +124,7 @@ class LSFA(nn.Module):
         g = 7
         self.rfcn_cls = nn.Conv(self.num_classes * g * g, (1, 1),
                                 dtype=self.dtype, name="rfcn_cls")
-        self.rfcn_bbox = nn.Conv(4 * 2 * g * g, (1, 1),
+        self.rfcn_bbox = nn.Conv(4 * self.num_reg_classes * g * g, (1, 1),
                                  dtype=self.dtype, name="rfcn_bbox")
 
     # ------- building blocks -------
@@ -374,6 +377,7 @@ def lsfa_from_config(cfg):
     n = cfg.network
     return LSFA(
         num_classes=cfg.dataset.NUM_CLASSES,
+        num_reg_classes=2 if cfg.CLASS_AGNOSTIC else cfg.dataset.NUM_CLASSES,
         feat_dim=n.DFF_FEAT_DIM,
         num_layer=n.num_layer,
         nettype=str(n.nettype),

@@ -18,6 +18,8 @@ from lsfa_tpu.models.resnet import ResNetBackbone
 
 class RFCN(nn.Module):
     num_classes: int = 31
+    # 2 when CLASS_AGNOSTIC (resnet_v1_101_rfcn.py num_reg_classes)
+    num_reg_classes: int = 2
     feat_dim: int = 1024
     num_layer: int = 101
     num_anchors: int = 9
@@ -47,8 +49,8 @@ class RFCN(nn.Module):
         g = 7
         self.rfcn_cls = nn.Conv(self.num_classes * g * g, (1, 1),
                                 dtype=self.dtype, name="rfcn_cls")
-        self.rfcn_bbox = nn.Conv(4 * 2 * g * g, (1, 1), dtype=self.dtype,
-                                 name="rfcn_bbox")
+        self.rfcn_bbox = nn.Conv(4 * self.num_reg_classes * g * g, (1, 1),
+                                 dtype=self.dtype, name="rfcn_bbox")
 
     def rpn_fg_probs(self, cls_logits):
         a = self.num_anchors

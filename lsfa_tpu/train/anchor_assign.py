@@ -30,7 +30,8 @@ def assign_anchors(anchors, gt_boxes, gt_valid, im_info, key,
                    clobber_positives: bool = False,
                    allowed_border: float = 0.0,
                    normalize: bool = True,
-                   means=(0.0, 0.0, 0.0, 0.0), stds=(0.1, 0.1, 0.4, 0.4)):
+                   means=(0.0, 0.0, 0.0, 0.0), stds=(0.1, 0.1, 0.4, 0.4),
+                   rpn_bbox_weights=(1.0, 1.0, 1.0, 1.0)):
     """Single-image anchor labeling.
 
     Args:
@@ -106,7 +107,9 @@ def assign_anchors(anchors, gt_boxes, gt_valid, im_info, key,
     bbox_target = jnp.where(any_gt, bbox_target, 0.0)
     if normalize:
         bbox_target = (bbox_target - jnp.asarray(means)) / jnp.asarray(stds)
+    # positives carry TRAIN.RPN_BBOX_WEIGHTS per coordinate
+    # (lib/rpn/rpn.py:253)
     bbox_weight = jnp.where((label == 1.0)[:, None],
-                            jnp.ones((k, 4), jnp.float32), 0.0)
+                            jnp.asarray(rpn_bbox_weights, jnp.float32), 0.0)
     bbox_target = bbox_target * (bbox_weight > 0)         # zero out unused slots
     return {"label": label, "bbox_target": bbox_target, "bbox_weight": bbox_weight}

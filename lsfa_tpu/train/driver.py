@@ -109,6 +109,14 @@ def init_model(cfg, rng_seed: int = 0, logger=None):
                         f"{path} ({len(report['unused'])} unused)")
 
     params = seed_small_net(variables["params"])
+    pd = str(getattr(cfg.tpu, "param_dtype", "float32"))
+    if pd != "float32":
+        # tpu.param_dtype: store parameters below f32 (halves checkpoint
+        # + HBM weight footprint; compute still upcasts per compute_dtype)
+        dt = jnp.dtype(pd)
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(dt)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
     return model, params, variables.get("batch_stats", {})
 
 
@@ -124,7 +132,10 @@ def train_net(cfg, roidb=None, ckpt_dir: str | None = None,
     if logger is None:
         logger, out_dir = create_logger(cfg.output_path, cfg.symbol,
                                         cfg.dataset.image_set)
-        ckpt_dir = ckpt_dir or os.path.join(out_dir, "checkpoints")
+        # TRAIN.model_prefix names the checkpoint tree (the reference's
+        # <prefix>-<epoch>.params naming, train_end2end.py:178)
+        ckpt_dir = ckpt_dir or os.path.join(out_dir, "checkpoints",
+                                            cfg.TRAIN.model_prefix)
     if roidb is None:
         roidb = load_train_roidb(cfg)
 

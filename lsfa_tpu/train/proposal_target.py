@@ -9,8 +9,10 @@ subsampling — OHEM does the selection downstream):
   * label each roi with the class of its argmax-IoU gt if IoU >= FG_THRESH,
     else background (0),
   * regression targets toward the argmax gt, normalized by
-    BBOX_MEANS/STDS, expanded class-agnostic to (N, 8) with the fg slot
-    at [4:8] and weights BBOX_WEIGHTS on fg rois.
+    BBOX_MEANS/STDS when BBOX_NORMALIZATION_PRECOMPUTED, expanded to
+    (N, 4*num_reg_classes): fg slot 1 when CLASS_AGNOSTIC, else the
+    roi's class slot (lib/bbox/bbox_regression.py:120-141), weights
+    BBOX_WEIGHTS on fg rois.
 
 Fixed shapes: gt arrives padded to max_gt with a validity mask; outputs
 are (R + max_gt)-sized with a validity mask (invalid slots labeled -1 so
@@ -19,6 +21,7 @@ every downstream loss ignores them).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from lsfa_tpu.ops.boxes import bbox_transform, pairwise_iou
@@ -28,17 +31,25 @@ def proposal_target(rois, gt_boxes, gt_valid,
                     fg_thresh: float = 0.5,
                     bbox_means=(0.0, 0.0, 0.0, 0.0),
                     bbox_stds=(0.1, 0.1, 0.2, 0.2),
-                    bbox_weights=(1.0, 1.0, 1.0, 1.0)):
-    """Single-image ROI labeling (class-agnostic regression).
+                    bbox_weights=(1.0, 1.0, 1.0, 1.0),
+                    num_reg_classes: int = 2,
+                    normalization_precomputed: bool = True):
+    """Single-image ROI labeling.
 
     Args:
       rois: (R, 5) [batch0, x1, y1, x2, y2] from the proposal op.
       gt_boxes: (G, 5) [x1, y1, x2, y2, cls] padded.
       gt_valid: (G,) bool.
+      num_reg_classes: 2 for CLASS_AGNOSTIC (fg slot 1), else num_classes
+        (fg slot = roi class — lib/bbox/bbox_regression.py:120-141
+        expand_bbox_regression_targets).
+      normalization_precomputed: TRAIN.BBOX_NORMALIZATION_PRECOMPUTED —
+        normalize targets by BBOX_MEANS/STDS (core/rcnn.py:183-186).
 
     Returns dict:
       rois (R+G, 5), label (R+G,) float in {-1, 0, 1..C-1},
-      bbox_target (R+G, 8), bbox_weight (R+G, 8), valid (R+G,) bool.
+      bbox_target (R+G, 4*num_reg_classes), bbox_weight (same),
+      valid (R+G,) bool.
     """
     g = gt_boxes.shape[0]
     gt_as_rois = jnp.concatenate(
@@ -58,15 +69,19 @@ def proposal_target(rois, gt_boxes, gt_valid,
     label = jnp.where(valid, label, -1.0)
 
     targets = bbox_transform(all_rois[:, 1:5], gt_boxes[argmax_gt, :4])
-    targets = (targets - jnp.asarray(bbox_means)) / jnp.asarray(bbox_stds)
-    # class-agnostic expansion: fg slot at [4:8]
+    if normalization_precomputed:
+        targets = (targets - jnp.asarray(bbox_means)) / jnp.asarray(bbox_stds)
+    # class expansion: agnostic -> fg slot 1; per-class -> the roi's class
     n = all_rois.shape[0]
-    bbox_target = jnp.zeros((n, 8), jnp.float32)
-    bbox_target = bbox_target.at[:, 4:8].set(
-        jnp.where(is_fg[:, None], targets, 0.0))
-    bbox_weight = jnp.zeros((n, 8), jnp.float32)
-    bbox_weight = bbox_weight.at[:, 4:8].set(
-        jnp.where(is_fg[:, None], jnp.asarray(bbox_weights, jnp.float32), 0.0))
+    slot = (jnp.ones((n,), jnp.int32) if num_reg_classes == 2
+            else jnp.clip(label.astype(jnp.int32), 0, num_reg_classes - 1))
+    onehot = jax.nn.one_hot(slot, num_reg_classes,
+                            dtype=jnp.float32) * is_fg[:, None]
+    bbox_target = (onehot[:, :, None] * targets[:, None, :]).reshape(
+        n, 4 * num_reg_classes)
+    bbox_weight = (onehot[:, :, None]
+                   * jnp.asarray(bbox_weights, jnp.float32)[None, None, :]
+                   ).reshape(n, 4 * num_reg_classes)
     return {"rois": all_rois, "label": label, "bbox_target": bbox_target,
             "bbox_weight": bbox_weight, "valid": valid, "max_iou": max_iou}
 

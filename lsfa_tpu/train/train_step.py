@@ -34,6 +34,10 @@ class TrainSettings:
     """Static (compile-time) training knobs, extracted from the config."""
 
     num_classes: int = 31
+    # 2 under CLASS_AGNOSTIC, else num_classes (symbols/...:281)
+    num_reg_classes: int = 2
+    # TRAIN.BBOX_NORMALIZATION_PRECOMPUTED (core/rcnn.py:183-186)
+    bbox_normalization_precomputed: bool = True
     num_anchors: int = 9
     feat_stride: int = 16
     anchor_scales: tuple = (8, 16, 32)
@@ -47,6 +51,8 @@ class TrainSettings:
     rpn_neg_thresh: float = 0.3
     # bg assignment runs AFTER fg when set (lib/rpn/rpn.py:229-239)
     rpn_clobber_positives: bool = False
+    # per-coordinate weight on positive-anchor bbox loss (lib/rpn/rpn.py:253)
+    rpn_bbox_weights: tuple = (1.0, 1.0, 1.0, 1.0)
     pre_nms_top_n: int = 6000
     post_nms_top_n: int = 300
     nms_thresh: float = 0.7
@@ -69,6 +75,10 @@ class TrainSettings:
     def from_config(cls, cfg):
         return cls(
             num_classes=cfg.dataset.NUM_CLASSES,
+            num_reg_classes=(2 if cfg.CLASS_AGNOSTIC
+                             else cfg.dataset.NUM_CLASSES),
+            bbox_normalization_precomputed=(
+                cfg.TRAIN.BBOX_NORMALIZATION_PRECOMPUTED),
             num_anchors=cfg.network.NUM_ANCHORS,
             feat_stride=cfg.network.RPN_FEAT_STRIDE,
             anchor_scales=tuple(cfg.network.ANCHOR_SCALES),
@@ -81,6 +91,7 @@ class TrainSettings:
             rpn_pos_thresh=cfg.TRAIN.RPN_POSITIVE_OVERLAP,
             rpn_neg_thresh=cfg.TRAIN.RPN_NEGATIVE_OVERLAP,
             rpn_clobber_positives=cfg.TRAIN.RPN_CLOBBER_POSITIVES,
+            rpn_bbox_weights=tuple(cfg.TRAIN.RPN_BBOX_WEIGHTS),
             pre_nms_top_n=cfg.TRAIN.RPN_PRE_NMS_TOP_N,
             post_nms_top_n=cfg.TRAIN.RPN_POST_NMS_TOP_N,
             nms_thresh=cfg.TRAIN.RPN_NMS_THRESH,
@@ -111,6 +122,7 @@ def detection_losses(out, batch, anchors, rng, s: TrainSettings):
         pos_thresh=s.rpn_pos_thresh, neg_thresh=s.rpn_neg_thresh,
         clobber_positives=s.rpn_clobber_positives,
         normalize=s.normalize_rpn, means=s.anchor_means, stds=s.anchor_stds,
+        rpn_bbox_weights=s.rpn_bbox_weights,
     ))(batch["gt_boxes"], batch["gt_valid"], batch["im_info"], keys)
     rpn_labels = assign["label"].reshape(b, fh, fw, a)
     rpn_t = assign["bbox_target"].reshape(b, fh, fw, a * 4)
@@ -142,6 +154,8 @@ def detection_losses(out, batch, anchors, rng, s: TrainSettings):
     tgt = jax.vmap(lambda r, gt, gv: proposal_target(
         r, gt, gv, fg_thresh=s.fg_thresh, bbox_means=s.bbox_means,
         bbox_stds=s.bbox_stds, bbox_weights=s.bbox_weights,
+        num_reg_classes=s.num_reg_classes,
+        normalization_precomputed=s.bbox_normalization_precomputed,
     ))(rois, batch["gt_boxes"], batch["gt_valid"])
     if s.batch_rois > 0:
         # BATCH_ROIS > 0: fixed fg/bg minibatch (core/rcnn.py:126-191)
@@ -156,7 +170,8 @@ def detection_losses(out, batch, anchors, rng, s: TrainSettings):
         pooled_cls = psroi_pool(cls_map, r, output_dim=s.num_classes,
                                 group_size=s.group_size,
                                 spatial_scale=1.0 / s.feat_stride)
-        pooled_bbox = psroi_pool(bbox_map, r, output_dim=8,
+        pooled_bbox = psroi_pool(bbox_map, r,
+                                 output_dim=4 * s.num_reg_classes,
                                  group_size=s.group_size,
                                  spatial_scale=1.0 / s.feat_stride)
         return (jnp.mean(pooled_cls, axis=(1, 2)),

@@ -403,6 +403,15 @@ COVIAR_API void coviar_close(void* hp) {
     delete h;
 }
 
+// Last error message recorded on this handle by set_err() — lets Python
+// raise the real diagnostic (e.g. "bucket too small") instead of only the
+// negative frame count a failed decode returns. Valid until the next
+// decode call on the same handle.
+COVIAR_API const char* coviar_last_error(void* hp) {
+    Handle* h = (Handle*)hp;
+    return h ? h->err.c_str() : "";
+}
+
 COVIAR_API int coviar_num_frames(void* hp) {
     return (int)((Handle*)hp)->is_key.size();
 }
@@ -614,6 +623,7 @@ static int decode_gop_prepared_impl(
     float pixel_scale, int legacy_swap, int frames_mode, int payload_fmt,
     uint8_t* frames, uint8_t* smalls, float* mv_out, float* res_out,
     float* im_info, int max_frames) {
+    set_err(h, "");   // fresh call: don't let a stale message mislead
     // payload_fmt bit 4: produce smalls straight from the decoder's
     // native YUV planes (one SWS_AREA plane scale) instead of the
     // YUV->BGR->YUV round trip through the full-res conversion.

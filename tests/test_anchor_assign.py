@@ -141,3 +141,21 @@ def test_clobber_config_plumbing():
     cfg = get_default_config()
     cfg.TRAIN.RPN_CLOBBER_POSITIVES = True
     assert TrainSettings.from_config(cfg).rpn_clobber_positives is True
+
+
+def test_rpn_bbox_weights_on_positives():
+    """TRAIN.RPN_BBOX_WEIGHTS lands per-coordinate on positive anchors
+    (lib/rpn/rpn.py:253); negatives/ignores stay zero."""
+    anchors = jnp.asarray(anchor_grid(4, 6, 16, ratios=(1.0,), scales=(1, 2)))
+    gt = jnp.asarray(np.array([[8.0, 8, 40, 40, 1]], np.float32))
+    gv = jnp.asarray(np.array([True]))
+    im_info = jnp.asarray(np.array([64.0, 96.0, 1.0], np.float32))
+    wts = (1.0, 2.0, 3.0, 4.0)
+    out = assign_anchors(anchors, gt, gv, im_info, jax.random.PRNGKey(0),
+                         rpn_bbox_weights=wts)
+    lab = np.asarray(out["label"])
+    w = np.asarray(out["bbox_weight"])
+    assert (lab == 1).sum() >= 1
+    np.testing.assert_array_equal(w[lab == 1],
+                                  np.tile(np.asarray(wts), ((lab == 1).sum(), 1)))
+    assert (w[lab != 1] == 0).all()

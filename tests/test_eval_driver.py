@@ -127,6 +127,22 @@ def test_eval_driver_partial_gop_tail(tmp_path, tiny_model):
     assert sorted(dets.keys()) == list(range(tail_len + 3))
 
 
+def test_eval_loader_starts_at_tail_start(tmp_path):
+    """EvalLoader honors `_tail_start` (set by the GOP-scan driver on
+    partial-GOP tail recs): it must yield ONLY frames >= tail_start, so
+    the per-frame fallback doesn't re-decode the GOP-covered prefix."""
+    from lsfa_tpu.data.loader import EvalLoader, prepared_available
+
+    if not (coviar.available() and prepared_available()):
+        pytest.skip("native prepared-decode plane not built")
+    cfg = load_config("configs/lsfa_tiny_smoke.yaml")
+    vp = str(tmp_path / "tail30.mp4")
+    coviar.encode_test_video(vp, n_frames=30, w=W, h=H, gop_size=12, seed=9)
+    rec = {"frame_seg_len": 30, "video_path": vp, "_tail_start": 24}
+    fids = [item["frame_id"] for item in EvalLoader([rec], cfg)]
+    assert fids == list(range(24, 30))
+
+
 def test_gop_eval_gate_requires_interval_equal_gop(tmp_path, monkeypatch):
     """GOP-scan eligibility: KEY_FRAME_INTERVAL must EQUAL GOP_SIZE —
     a multiple (24) would silently key every GOP (12) instead of every 24

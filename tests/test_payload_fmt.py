@@ -90,7 +90,9 @@ def test_i420_layout_and_pad(clip):
 
 
 def test_i420_requires_mode1(clip):
-    with pytest.raises(IOError):
+    # the ctypes wrapper rejects the combination up front (the C plane
+    # also refuses it with rc -7 for raw callers)
+    with pytest.raises(ValueError, match="frames_mode"):
         _decode(clip, "i420", mode=0)
 
 

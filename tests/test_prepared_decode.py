@@ -249,3 +249,36 @@ def test_frames_mode1_small_drift_bounded():
     assert d.max() <= 48                      # no gross misalignment
     # drift is sparse: <1% of pixels move by more than 8/255
     assert (d > 8).mean() < 0.01
+
+
+def test_native_error_message_surfaces(clip):
+    """A failed prepared decode must raise with the native set_err()
+    diagnostic, not just the negative frame count (round-3 review: the
+    error strings were write-only)."""
+    r = coviar.VideoReader(clip)
+    try:
+        with pytest.raises(IOError, match="bucket too small"):
+            # stream resizes to ~(120,205); a 64x64 bucket can't hold it
+            r.decode_gop_prepared(0, (64, 64), TARGET, MAXSZ, MEANS,
+                                  stride=16, small_factor=4)
+    finally:
+        r.close()
+
+
+def test_yuv_src_with_bgr8_rejected_in_wrapper(clip):
+    """small_src/res_src='yuv' only exist for the i420 wire format; the
+    ctypes wrapper must reject the combination with a clear ValueError
+    instead of letting it fail deep in native code (rc -9)."""
+    r = coviar.VideoReader(clip)
+    try:
+        with pytest.raises(ValueError, match="i420"):
+            r.decode_gop_prepared(0, BUCKET, TARGET, MAXSZ, MEANS,
+                                  stride=16, small_factor=4,
+                                  frames_mode=1, payload_fmt="bgr8",
+                                  small_src="yuv")
+        with pytest.raises(ValueError, match="frames_mode"):
+            r.decode_gop_prepared(0, BUCKET, TARGET, MAXSZ, MEANS,
+                                  stride=16, small_factor=4,
+                                  frames_mode=0, payload_fmt="i420")
+    finally:
+        r.close()

@@ -132,3 +132,58 @@ def test_ohem_underfull_ignores_padding():
     assert (lab[3:] == -1).all(), "invalid rois leaked into OHEM keep-set"
     assert (w[3:] == 0).all()
     assert (lab[:3] >= 0).all()   # all eligible rois kept (< roi_per_img)
+
+
+def test_proposal_target_per_class_expansion():
+    """CLASS_AGNOSTIC=false: targets land in the roi's CLASS slot
+    (lib/bbox/bbox_regression.py:120-141 expand_bbox_regression_targets:
+    start = 4*cls), and width is 4*num_classes."""
+    rois = np.array([
+        [0, 10, 10, 50, 50],      # fg, class 5
+        [0, 200, 200, 240, 240],  # bg
+    ], np.float32)
+    gt = np.zeros((2, 5), np.float32)
+    gt[0] = [10, 10, 50, 50, 5]
+    gt_valid = np.array([True, False])
+
+    num_cls = 7
+    out = proposal_target(jnp.asarray(rois), jnp.asarray(gt),
+                          jnp.asarray(gt_valid), num_reg_classes=num_cls)
+    t = np.asarray(out["bbox_target"])
+    w = np.asarray(out["bbox_weight"])
+    assert t.shape == (4, 4 * num_cls) and w.shape == (4, 4 * num_cls)
+    # fg roi0 (class 5): only slot 5 carries weight
+    assert (w[0, 20:24] == 1).all()
+    w0 = w[0].copy(); w0[20:24] = 0
+    assert (w0 == 0).all()
+    # bg roi1: no regression anywhere
+    assert (w[1] == 0).all()
+    # the appended gt roi (index 2) regresses to itself in slot 5
+    np.testing.assert_allclose(t[2, 20:24],
+                               (-np.array([0, 0, 0, 0])
+                                - np.array([0, 0, 0, 0])), atol=1e-5)
+    # agnostic (default) and per-class agree on the fg slot CONTENT
+    out2 = proposal_target(jnp.asarray(rois), jnp.asarray(gt),
+                           jnp.asarray(gt_valid))
+    np.testing.assert_allclose(t[0, 20:24],
+                               np.asarray(out2["bbox_target"])[0, 4:8],
+                               atol=1e-6)
+
+
+def test_proposal_target_normalization_gate():
+    """TRAIN.BBOX_NORMALIZATION_PRECOMPUTED=false skips the mean/std
+    normalization of regression targets (core/rcnn.py:183-186)."""
+    rois = np.array([[0, 10, 10, 50, 50]], np.float32)
+    gt = np.zeros((1, 5), np.float32)
+    gt[0] = [12, 8, 54, 50, 2]
+    gt_valid = np.array([True])
+    stds = (0.1, 0.1, 0.2, 0.2)
+
+    norm = proposal_target(jnp.asarray(rois), jnp.asarray(gt),
+                           jnp.asarray(gt_valid), bbox_stds=stds)
+    raw = proposal_target(jnp.asarray(rois), jnp.asarray(gt),
+                          jnp.asarray(gt_valid), bbox_stds=stds,
+                          normalization_precomputed=False)
+    tn = np.asarray(norm["bbox_target"])[0, 4:8]
+    tr = np.asarray(raw["bbox_target"])[0, 4:8]
+    np.testing.assert_allclose(tn * np.asarray(stds), tr, rtol=1e-5)

@@ -162,3 +162,31 @@ def test_lr_schedule():
     np.testing.assert_allclose(float(sched(5)), 0.1)
     np.testing.assert_allclose(float(sched(10)), 0.01)
     np.testing.assert_allclose(float(sched(25)), 0.001, rtol=1e-6)
+
+
+def test_train_step_per_class_regression(setup):
+    """CLASS_AGNOSTIC=false end-to-end: a head with 4*num_classes
+    regression channels trains with class-expanded targets (finite
+    losses, head updates)."""
+    model_a, _, settings = setup
+    model = LSFA(num_classes=5, num_reg_classes=5, feat_dim=64,
+                 num_layer=18, add_dcn=False, add_small_net=True,
+                 add_Nq_net=True, rnet_num_conv=0)
+    rng = jax.random.PRNGKey(1)
+    data = jnp.zeros((2, H, W, 3))
+    mv = jnp.zeros((2, FH, FW, 2))
+    res = jnp.zeros((2, FH, FW, 3))
+    ones = jnp.ones((2,))
+    variables = model.init(rng, data, data, data, ones, ones, mv, res)
+    assert variables["params"]["rfcn_bbox"]["kernel"].shape[-1] == 4 * 5 * 49
+    settings = type(settings)(**{**settings.__dict__, "num_reg_classes": 5})
+    params = _copy(variables["params"])
+    bs = _copy(variables.get("batch_stats", {}))
+    opt = make_optimizer(params, base_lr=1e-3, lr_steps=[1000])
+    step = make_train_step(model, settings, (FH, FW), opt)
+    batch = make_batch()
+    p, bs2, o, m = step(params, bs, opt.init(params), batch,
+                        jax.random.PRNGKey(0))
+    for k, v in m.items():
+        assert np.isfinite(float(v)), (k, v)
+    assert float(m["rcnn_bbox_loss"]) > 0

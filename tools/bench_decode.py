@@ -81,8 +81,9 @@ def measure(path):
         times.append((time.perf_counter() - t0) / (n_gops * GOP) * 1e3)
     prof = pv.reader.prof_read()
     nf = n_gops * GOP * PASSES
-    stages = {k: round(v / nf * 1e3, 2) for k, v in prof.items()
-              if k != "frames" and v}
+    # keep zero-valued stages: "frame_to_bgr 0.0" is exactly the signal
+    # the direct-YUV optimizations exist to demonstrate
+    stages = {k: round(v / nf * 1e3, 2) for k, v in prof.items()}
     kbps = os.path.getsize(path) * 8 / (n_gops * GOP) / 1000
     return float(np.median(times)), kbps, stages
 
