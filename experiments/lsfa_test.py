@@ -12,6 +12,15 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+def resolve_train_ckpt_dir(cfg, out_dir: str) -> str | None:
+    """Default checkpoint tree for this config: the TRAIN run's directory
+    (create_logger uses the image_set verbatim) + TRAIN.model_prefix —
+    the reference's test.py:57 convention. None if absent."""
+    cand = os.path.join(os.path.dirname(out_dir), cfg.dataset.image_set,
+                        "checkpoints", cfg.TRAIN.model_prefix)
+    return cand if os.path.isdir(cand) else None
+
+
 def run_test(cfg, params=None, batch_stats=None, ckpt_dir=None,
              ignore_cache=False, max_frames=None, lanes: int = 1,
              mesh_shape: int = 0, vis_frames: int = 0,
@@ -40,14 +49,7 @@ def run_test(cfg, params=None, batch_stats=None, ckpt_dir=None,
     model, init_params, init_bs = init_model(cfg)
     if params is None:
         if not ckpt_dir:
-            # reference layout: test.py:57 loads <train-image-set dir>/
-            # <TRAIN.model_prefix> at epoch TEST.test_epoch
-            cand = os.path.join(
-                os.path.dirname(out_dir),
-                "_".join(cfg.dataset.image_set.split("+")),
-                "checkpoints", cfg.TRAIN.model_prefix)
-            if os.path.isdir(cand):
-                ckpt_dir = cand
+            ckpt_dir = resolve_train_ckpt_dir(cfg, out_dir)
         if ckpt_dir:
             # TEST.test_epoch selects the checkpoint (0 = latest)
             epoch = int(cfg.TEST.test_epoch) or None

@@ -51,13 +51,14 @@ def postprocess_detections(cls_prob, bbox_deltas, rois, roi_valid, im_info,
     stds = jnp.asarray(bbox_stds, jnp.float32)
     means = jnp.asarray(bbox_means, jnp.float32)
     deltas = bbox_deltas.reshape(r, num_reg_classes, 4) * stds + means
+    deltas = deltas[:, 1:]                           # bg slot 0 never decoded
 
     def decode_slot(d):
         b = bbox_pred(rois[:, 1:5], d)
         b = clip_boxes(b, im_info[:2])
         return b / im_info[2]                        # back to original coords
 
-    boxes_all = jax.vmap(decode_slot, in_axes=1)(deltas)  # (num_reg, R, 4)
+    boxes_all = jax.vmap(decode_slot, in_axes=1)(deltas)  # (num_reg-1, R, 4)
 
     def per_class(c_scores, c_boxes):
         ok = roi_valid & (c_scores > score_thresh)
@@ -69,10 +70,10 @@ def postprocess_detections(cls_prob, bbox_deltas, rois, roi_valid, im_info,
     # regression slot (slot 1 for all classes when agnostic)
     fg_scores = cls_prob[:, 1:].T                    # (C-1, R)
     if num_reg_classes == 2:
-        cls_boxes = jnp.broadcast_to(boxes_all[1][None],
+        cls_boxes = jnp.broadcast_to(boxes_all[0][None],
                                      (num_classes - 1, r, 4))
     else:
-        cls_boxes = boxes_all[1:]
+        cls_boxes = boxes_all
     keep_idx, keep_valid = jax.vmap(per_class)(fg_scores, cls_boxes)
     c_minus1, m = keep_idx.shape
     labels = jnp.broadcast_to(jnp.arange(1, num_classes)[:, None], (c_minus1, m))

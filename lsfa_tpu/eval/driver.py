@@ -200,9 +200,9 @@ def eval_videos(model, variables, cfg, video_roidb, det_cache: str | None = None
             cur_video = -1
             for item in loader:
                 rec = frame_recs[item["video_index"]]
+                # EvalLoader starts iteration at _tail_start, so frames
+                # the GOP path covered never reach this loop
                 tail_start = rec.get("_tail_start", 0)
-                if item["frame_id"] < tail_start:
-                    continue   # already covered by the GOP path
                 if item["video_index"] != cur_video:
                     det.reset()
                     cur_video = item["video_index"]

@@ -564,6 +564,7 @@ int decode_gop_core(Handle* h, int gop_idx, int max_frames, bool need_mv,
 COVIAR_API int coviar_decode_gop(void* hp, int gop_idx, uint8_t* bgr,
                                  int32_t* mv, int32_t* res, int max_frames) {
     Handle* h = (Handle*)hp;
+    set_err(h, "");   // fresh call: don't let a stale message mislead
     const int w = h->width, hgt = h->height;
     const size_t npx = (size_t)w * hgt;
     bool need_mv = (mv != nullptr) || (res != nullptr);
@@ -977,6 +978,7 @@ COVIAR_API int coviar_decode_train_sample(
     uint8_t* data, uint8_t* data_ref, uint8_t* data_ref_old,
     float* mv_out, float* res_out, float* im_info) {
     Handle* h = (Handle*)hp;
+    set_err(h, "");   // fresh call: don't let a stale message mislead
     const int w = h->width, hgt = h->height;
     const size_t npx = (size_t)w * hgt;
     if (cur_id < 0 || cur_id >= (int)h->is_key.size()) return -1;

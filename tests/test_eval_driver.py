@@ -311,3 +311,28 @@ def test_rfcn_launcher_path(two_video_env):
     vis = glob.glob(os.path.join(cfg.output_path, "**", "vis", "*.jpg"),
                     recursive=True)
     assert len(vis) == 2
+
+
+def test_test_launcher_finds_train_checkpoints(tmp_path):
+    """The eval launcher's checkpoint auto-discovery must point at the
+    directory the TRAIN driver actually writes (create_logger uses the
+    '+'-joined image_set verbatim; reference test.py:57 convention)."""
+    from experiments.lsfa_test import resolve_train_ckpt_dir
+    from lsfa_tpu.config import load_config
+    from lsfa_tpu.utils import create_logger
+
+    cfg = load_config("configs/lsfa_tiny_smoke.yaml")
+    cfg.output_path = str(tmp_path)
+    cfg.dataset.image_set = "DET_train_30classes+VID_train_15frames"
+    cfg.dataset.test_image_set = "VID_val_videos"
+
+    # what train_net does (train/driver.py): out_dir/checkpoints/<prefix>
+    _, train_out = create_logger(cfg.output_path, cfg.symbol,
+                                 cfg.dataset.image_set)
+    train_ckpt = os.path.join(train_out, "checkpoints",
+                              cfg.TRAIN.model_prefix)
+    os.makedirs(train_ckpt)
+
+    _, test_out = create_logger(cfg.output_path, cfg.symbol,
+                                cfg.dataset.test_image_set)
+    assert resolve_train_ckpt_dir(cfg, test_out) == train_ckpt
