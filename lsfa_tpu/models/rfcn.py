@@ -82,6 +82,8 @@ class RFCN(nn.Module):
             "rpn_bbox": rpn_bbox,
             "rpn_fg": self.rpn_fg_probs(rpn_cls),
             "rpn_deltas": self.rpn_decode_deltas(rpn_bbox),
-            "rfcn_cls_map": self.rfcn_cls(rfcn_feat).astype(jnp.float32),
-            "rfcn_bbox_map": self.rfcn_bbox(rfcn_feat).astype(jnp.float32),
+            # model-dtype maps: psroi_pool contracts bf16 operands with
+            # f32 accumulation (bit-identical to upcasting first)
+            "rfcn_cls_map": self.rfcn_cls(rfcn_feat),
+            "rfcn_bbox_map": self.rfcn_bbox(rfcn_feat),
         }

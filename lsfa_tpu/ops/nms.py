@@ -36,20 +36,25 @@ def _greedy_alive(boxes_sorted, valid_sorted, iou_thresh, num_sweeps,
     """Fixpoint sweeps on rank-sorted boxes. Returns the (N,) alive mask,
     or (alive, converged) when `with_converged`.
 
-    Uses a FIXED sweep count (lax.fori_loop), not a convergence-tested
-    while_loop: a data-dependent while cond costs one host round-trip per
-    iteration on remote-execution runtimes (~5-10 ms each over the TPU
-    tunnel — measured to dominate the whole detector), whereas each sweep
-    itself is one bf16 matvec (~0.1 ms at N=6000). Real suppression chains
-    converge in < 10 sweeps.
+    Sweeps run in a lax.while_loop that EXITS AT THE FIXPOINT: the
+    convergence test executes on device inside the compiled program (no
+    host round-trips), and real suppression chains converge in 3-6 sweeps
+    — measured 2-5x faster at production shapes than unconditionally
+    running the `num_sweeps` cap, whose sup-matrix re-reads are HBM-bound
+    ((11,2048) proposal NMS: 13 -> 2.3 ms; (330,300) per-class: 9 -> 1.9).
+    `num_sweeps` bounds the trip count for adversarially deep chains.
+    NOTE: callers that differentiate must stop_gradient the inputs (the
+    train step does, train_step.py:139-140, matching the reference's
+    backward-less MultiProposal) — while_loop has no transpose rule.
 
     Exactness guarantees (the sweep map f(alive) = valid & ~(alive·sup) is
     ANTITONE, so f∘f is monotone and iterates from alive_0 = valid form a
     sandwich: even iterates ⊇ greedy keeps ⊇ odd iterates):
-      * if alive is a fixpoint (f(alive) == alive) the result IS the greedy
-        keep-set — `converged` certifies this with one extra matvec;
-      * an ODD sweep count that has not converged yields a strict SUBSET of
-        the greedy keeps: every emitted box is a true greedy keep, some
+      * early exit happens only when f(prev) == prev — a true fixpoint,
+        which IS the greedy keep-set (induction on rank); `converged`
+        certifies with one extra matvec;
+      * hitting an ODD `num_sweeps` cap unconverged yields a strict SUBSET
+        of the greedy keeps: every emitted box is a true greedy keep, some
         tail keeps may be missing (sound for detection — no spurious,
         differently-scored boxes ever appear);
       * num_sweeps >= N always converges (a suppression chain cannot be
@@ -67,7 +72,19 @@ def _greedy_alive(boxes_sorted, valid_sorted, iou_thresh, num_sweeps,
         return valid_sorted & (hit == 0.0)
 
     start = valid_sorted if init_alive is None else init_alive
-    alive = jax.lax.fori_loop(0, num_sweeps, lambda _, a: f(a), start)
+    if num_sweeps <= 0:
+        alive = start
+    else:
+        def cond(c):
+            a, prev, i = c
+            return (i < num_sweeps) & jnp.any(a != prev)
+
+        def body(c):
+            a, prev, i = c
+            return f(a), a, i + 1
+
+        alive, _, _ = jax.lax.while_loop(
+            cond, body, (f(start), start, jnp.int32(1)))
     if not with_converged:
         return alive
     converged = jnp.all(f(alive) == alive)

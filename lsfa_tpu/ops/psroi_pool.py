@@ -77,7 +77,12 @@ def psroi_pool(feat, rois, output_dim: int, group_size: int = 7,
     assert ch == output_dim * g * g, (ch, output_dim, g)
     assert g == p, "matmul formulation assumes group_size == pooled_size"
     n = rois.shape[0]
-    f = feat.astype(jnp.float32).reshape(h, w, output_dim, g, g)
+    # contract in the feature's own dtype (f32 accumulation below): for a
+    # bf16 model the map values carry bf16 precision anyway, and MXU
+    # bf16 x bf16 -> f32 products are exact, so this is bit-identical to
+    # upcasting the whole map first. f32 inputs stay f32 (CPU parity).
+    opdt = feat.dtype if feat.dtype == jnp.bfloat16 else jnp.float32
+    f = feat.astype(opdt).reshape(h, w, output_dim, g, g)
 
     hs, he, ws_, we = _bin_bounds(rois, h, w, p, spatial_scale)
     ys = jnp.arange(h, dtype=jnp.int32)
@@ -85,7 +90,7 @@ def psroi_pool(feat, rois, output_dim: int, group_size: int = 7,
     row = ((ys[None, None, :] >= hs[:, :, None])
            & (ys[None, None, :] < he[:, :, None])).astype(jnp.float32)
     col = ((xs2[None, None, :] >= ws_[:, :, None])
-           & (xs2[None, None, :] < we[:, :, None])).astype(jnp.float32)
+           & (xs2[None, None, :] < we[:, :, None])).astype(opdt)
 
     # A[n, q(pw), y, o, p(ph)] = sum_x col[n,q,x] F[y,x,o,p,q]
     a = jnp.einsum("nqx,yxopq->nqyop", col, f,
