@@ -187,3 +187,25 @@ def test_proposal_target_normalization_gate():
     tn = np.asarray(norm["bbox_target"])[0, 4:8]
     tr = np.asarray(raw["bbox_target"])[0, 4:8]
     np.testing.assert_allclose(tn * np.asarray(stds), tr, rtol=1e-5)
+
+
+def test_proposal_target_degenerate_roi_no_nan():
+    """An inverted roi (decoded from an extreme RPN delta: height < 1 so
+    y2 < y1) makes bbox_transform emit nan/inf; proposal_target must keep
+    it out of bbox_target entirely (0 * nan = nan would otherwise reach
+    the train loss — round-3 regression caught by bench_train)."""
+    rois = np.array([
+        [0, 10, 10, 50, 50],            # fg
+        [0, 0.0, 28.9, 95.0, 27.9],     # degenerate: y2 < y1
+    ], np.float32)
+    gt = np.zeros((2, 5), np.float32)
+    gt[0] = [10, 10, 50, 50, 3]
+    gt_valid = np.array([True, False])
+    out = proposal_target(jnp.asarray(rois), jnp.asarray(gt),
+                          jnp.asarray(gt_valid))
+    t = np.asarray(out["bbox_target"])
+    assert np.isfinite(t).all(), t
+    # per-class expansion path too
+    out2 = proposal_target(jnp.asarray(rois), jnp.asarray(gt),
+                           jnp.asarray(gt_valid), num_reg_classes=7)
+    assert np.isfinite(np.asarray(out2["bbox_target"])).all()

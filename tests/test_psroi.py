@@ -69,3 +69,19 @@ def test_psroi_half_coordinate_rounding(impl):
     got = np.moveaxis(np.asarray(got), -1, 1)
     want = ref_psroi_pool(feat_chw, rois, 5, 7, 7, 1.0 / 16)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_psroi_bf16_operands_bit_exact_for_bf16_inputs():
+    """A bf16 feature map pooled via the bf16-operand MXU path must equal
+    the f32 path BIT-FOR-BIT: bf16 x {0,1} products are exact in f32 and
+    accumulation stays f32 (preferred_element_type), so emitting rfcn maps
+    in model dtype (models/lsfa.py::rfcn_maps) loses nothing."""
+    feat_chw, rois = make_case(5, n=16)
+    feat_hwc = np.moveaxis(feat_chw, 0, -1)
+    feat_bf16 = jnp.asarray(feat_hwc).astype(jnp.bfloat16)
+    got16 = np.asarray(psroi_pool(feat_bf16, jnp.asarray(rois),
+                                  output_dim=5))
+    got32 = np.asarray(psroi_pool(feat_bf16.astype(jnp.float32),
+                                  jnp.asarray(rois), output_dim=5))
+    assert got16.dtype == np.float32
+    np.testing.assert_array_equal(got16, got32)

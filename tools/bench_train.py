@@ -27,7 +27,10 @@ def main():
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--remat", action="store_true")
-    ap.add_argument("--lr", type=float, default=2.5e-4)
+    # warmup-scale lr: this bench runs the SAME noise batch every step
+    # from random init (losses start ~200); the recipe lr (2.5e-4) without
+    # the driver's warmup schedule diverges to nan within ~10 steps
+    ap.add_argument("--lr", type=float, default=1e-5)
     ap.add_argument("--tiny", action="store_true",
                     help="resnet18/64ch at 64x96 (CPU-friendly smoke)")
     args = ap.parse_args()
