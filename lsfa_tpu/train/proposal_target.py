@@ -69,13 +69,14 @@ def proposal_target(rois, gt_boxes, gt_valid,
     label = jnp.where(valid, label, -1.0)
 
     targets = bbox_transform(all_rois[:, 1:5], gt_boxes[argmax_gt, :4])
-    # select-out non-fg rows BEFORE the onehot multiply: a degenerate roi
-    # (inverted box from an extreme RPN delta) yields nan/inf transform
-    # values, and 0 * nan = nan would leak through the masked expansion
-    # into the loss (where() selects, avoiding the product entirely)
-    targets = jnp.where(is_fg[:, None], targets, 0.0)
     if normalization_precomputed:
         targets = (targets - jnp.asarray(bbox_means)) / jnp.asarray(bbox_stds)
+    # select-out non-fg rows (AFTER normalization, so they are truly 0)
+    # before the onehot multiply: a degenerate roi (inverted box from an
+    # extreme RPN delta) yields nan/inf transform values, and 0 * nan =
+    # nan would leak through the masked expansion into the loss
+    # (where() selects, avoiding the product entirely)
+    targets = jnp.where(is_fg[:, None], targets, 0.0)
     # class expansion: agnostic -> fg slot 1; per-class -> the roi's class
     n = all_rois.shape[0]
     slot = (jnp.ones((n,), jnp.int32) if num_reg_classes == 2
