@@ -141,3 +141,29 @@ def test_nms_certificate_true_on_converged_input():
     got = np.asarray(keep_idx)[np.asarray(keep_valid)]
     want = ref_nms(np.concatenate([boxes, scores[:, None]], 1), 0.7)[:50]
     np.testing.assert_array_equal(got, want)
+
+
+def test_nms_randomized_sweep_vs_oracle():
+    """Property sweep for the convergence-exit while_loop (round-3): over
+    many random configurations the fixpoint keep-set must EQUAL the
+    sequential greedy oracle whenever the certificate reports converged —
+    and the certificate must report converged for all of these shallow
+    real-world-like cases (chains < cap)."""
+    rng = np.random.default_rng(123)
+    for trial in range(30):
+        n = int(rng.integers(8, 260))
+        thresh = float(rng.uniform(0.25, 0.8))
+        max_out = int(rng.integers(4, n + 1))
+        boxes = rand_boxes(rng, n, hi=int(rng.integers(60, 400)))
+        scores = rng.uniform(0.001, 1.0, n).astype(np.float32)
+        if trial % 3 == 0:          # clusters: heavy mutual suppression
+            boxes[n // 2:] = boxes[: n - n // 2] + rng.normal(
+                0, 2.0, (n - n // 2, 4)).astype(np.float32)
+        keep_idx, keep_valid, converged = nms_fixed(
+            jnp.asarray(boxes), jnp.asarray(scores), thresh, max_out,
+            return_converged=True)
+        assert bool(converged), (trial, n, thresh)
+        got = np.asarray(keep_idx)[np.asarray(keep_valid)]
+        want = ref_nms(np.concatenate([boxes, scores[:, None]], 1),
+                       thresh)[:max_out]
+        np.testing.assert_array_equal(got, want, err_msg=str((trial, n)))
