@@ -91,16 +91,22 @@ def main():
     old_img = model.apply(variables, method=lambda m: m.preprocess(frame))
     feat = out["feat"]
 
+    # each variant recompiles the full flagship graph (~1-2 min on the
+    # tunnel host); the default sweep keeps 3 compiles — pass --full for
+    # the complete pre_nms ladder (7 compiles, ~10+ min)
+    full = "--full" in sys.argv
     print(f"fwd only          : {lat(v_fwd, variables, frame, old_img, feat):7.1f} ms")
-    for pre in (6000, 2048, 1024):
+    for pre in ((6000, 2048, 1024) if full else (2048,)):
         s1 = make_variant(pre, "prop")
         print(f"+prop  (pre={pre:5d}): {lat(s1, variables, frame, old_img, feat):7.1f} ms")
-    s2 = make_variant(6000, "psroi")
-    print(f"+psroi (pre=6000) : {lat(s2, variables, frame, old_img, feat):7.1f} ms")
-    s3 = make_variant(6000, "full")
-    print(f"full   (pre=6000) : {lat(s3, variables, frame, old_img, feat):7.1f} ms")
-    s4 = make_variant(1024, "full")
-    print(f"full   (pre=1024) : {lat(s4, variables, frame, old_img, feat):7.1f} ms")
+    if full:
+        s2 = make_variant(6000, "psroi")
+        print(f"+psroi (pre=6000) : {lat(s2, variables, frame, old_img, feat):7.1f} ms")
+        s3 = make_variant(6000, "full")
+        print(f"full   (pre=6000) : {lat(s3, variables, frame, old_img, feat):7.1f} ms")
+    s4 = make_variant(2048 if not full else 1024, "full")
+    print(f"full   (pre={2048 if not full else 1024:5d}): "
+          f"{lat(s4, variables, frame, old_img, feat):7.1f} ms")
 
 
 if __name__ == "__main__":
