@@ -41,6 +41,14 @@ def save_checkpoint(path: str, epoch: int, params, batch_stats, opt_state):
         mgr.wait_until_finished()
 
 
+def latest_step(path: str) -> int | None:
+    """Latest saved epoch under `path`, or None when nothing is saved."""
+    if not os.path.isdir(path):
+        return None
+    with _mgr(path) as mgr:
+        return mgr.latest_step()
+
+
 def load_checkpoint(path: str, epoch: int | None = None, template=None):
     """Load a checkpoint (latest when epoch is None). Returns the dict."""
     with _mgr(path) as mgr:

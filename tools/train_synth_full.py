@@ -102,8 +102,21 @@ def main():
     if args.resume:
         # continue from the saved epoch; the restored optimizer step keeps
         # the LR schedule position, so the x0.1 decay lands where the
-        # TOTAL-step schedule puts it
+        # TOTAL-step schedule puts it. NOTE: --steps is the TOTAL target —
+        # pass a value whose epoch count EXCEEDS the restored epoch, or
+        # train_net returns the restored params untouched (e.g. phase 1
+        # --steps 2500 ends "epoch 1", so phase 2 needs --steps > 4320
+        # for end_epoch=2). Warn loudly instead of silently evaluating
+        # the unchanged checkpoint:
         cfg.TRAIN.RESUME = True
+        from lsfa_tpu.train.checkpoint import latest_step
+        done = latest_step(os.path.join(args.out, "checkpoints"))
+        if done is not None and done >= epochs_needed:
+            logger.warning(
+                f"resume target end_epoch={epochs_needed} is already "
+                f"complete (checkpoint at epoch {done}) — no training "
+                f"will happen; raise --steps past "
+                f"{epochs_needed * steps_per_epoch}")
 
     curves_path = os.path.join(args.out, f"curves{args.tag}.jsonl")
     curves_f = open(curves_path, "w")
