@@ -38,7 +38,7 @@ N_GOPS = 12
 TRIALS = 5
 
 
-def _build_detector(batch: int = 1):
+def _build_detector(batch: int = 1, flags: list[str] | None = None):
     import jax
     import jax.numpy as jnp
 
@@ -46,14 +46,16 @@ def _build_detector(batch: int = 1):
     from lsfa_tpu.eval.tester import StreamingDetector
     from lsfa_tpu.models.lsfa import lsfa_from_config
 
+    if flags is None:
+        flags = sys.argv[1:]
     cfg = get_default_config()
-    if "--overlap" in sys.argv:          # now the default; kept for A/B
+    if "--overlap" in flags:             # now the default; kept for A/B
         cfg.tpu.sync_per_window = False
-    if "--sync" in sys.argv:             # serialize windows (old runtime)
+    if "--sync" in flags:                # serialize windows (old runtime)
         cfg.tpu.sync_per_window = True
-    if "--f32" in sys.argv:
+    if "--f32" in flags:
         cfg.tpu.mv_res_dtype = "float32"
-    if "--bgr8" in sys.argv:      # A/B: packed-BGR payloads (i420 default)
+    if "--bgr8" in flags:         # A/B: packed-BGR payloads (i420 default)
         cfg.tpu.frame_payload = "bgr8"
     model = lsfa_from_config(cfg)
     h, w = cfg.tpu.default_bucket
@@ -68,39 +70,51 @@ def _build_detector(batch: int = 1):
     return cfg, det
 
 
-def run_real(clip: str | None = None) -> dict:
-    """Decode-included pipeline: C++ prepared decode (producer thread)
-    overlapped with the device GOP loop (consumer)."""
-    import jax
+class E2EArm:
+    """One end-to-end benchmark configuration: config + detector + prepared
+    C++ decode + the windowed dispatch closure. Extracted from run_real so
+    interleaved A/B runs (tools/ab_interleaved.py) can time two
+    configurations in ALTERNATING trials inside one process — the tunneled
+    host drifts +/-30% across hours, so sequential medians aren't
+    comparable but adjacent-trial ratios are."""
 
-    from lsfa_tpu.data import coviar
-    from lsfa_tpu.data.loader import PreparedVideo, payload_dtype
+    def __init__(self, flags: list[str] | None = None,
+                 clip: str | None = None):
+        import os
 
-    import os
-    if clip is None:
-        clip = CLIP
-        if not os.path.exists(clip):
-            coviar.encode_test_video(clip, n_frames=N_GOPS * 12, w=CLIP_W,
-                                     h=CLIP_H, gop_size=12, seed=3)
-    cfg, det = _build_detector()
-    bucket = tuple(cfg.tpu.default_bucket)
-    dt = payload_dtype(cfg)
-    sync = bool(cfg.tpu.sync_per_window)
+        from lsfa_tpu.data import coviar
+        from lsfa_tpu.data.loader import PreparedVideo, payload_dtype
 
-    pv = PreparedVideo(clip, cfg, bucket)
-    n_gops = min(N_GOPS, pv.num_frames // 12) if clip != CLIP else N_GOPS
-    if n_gops == 0:
-        sys.exit(f"clip too short: {pv.num_frames} frames "
-                 f"(< one 12-frame GOP) in {clip}")
-    # Device program: process_gops (lax.scan over GOPs) — the SAME program
-    # the device-only mode uses. Windows of G GOPs feed the scan program;
-    # G=2 balances pipelining against latency (override with --gops N
-    # for A/B runs).
-    G = 2
-    if "--gops" in sys.argv:
-        G = int(sys.argv[sys.argv.index("--gops") + 1])
+        if flags is None:
+            flags = sys.argv[1:]
+        if clip is None:
+            clip = CLIP
+            if not os.path.exists(clip):
+                coviar.encode_test_video(clip, n_frames=N_GOPS * 12,
+                                         w=CLIP_W, h=CLIP_H, gop_size=12,
+                                         seed=3)
+        self.clip = clip
+        self.cfg, self.det = _build_detector(flags=flags)
+        self.dt = payload_dtype(self.cfg)
+        self.sync = bool(self.cfg.tpu.sync_per_window)
+        self.pv = PreparedVideo(clip, self.cfg,
+                                tuple(self.cfg.tpu.default_bucket))
+        self.n_gops = (min(N_GOPS, self.pv.num_frames // 12)
+                       if clip != CLIP else N_GOPS)
+        if self.n_gops == 0:
+            sys.exit(f"clip too short: {self.pv.num_frames} frames "
+                     f"(< one 12-frame GOP) in {clip}")
+        # Device program: process_gops (lax.scan over GOPs) — the SAME
+        # program the device-only mode uses. Windows of G GOPs feed the
+        # scan program; G=2 balances pipelining against latency (override
+        # with --gops N for A/B runs).
+        self.G = 2
+        if "--gops" in flags:
+            self.G = int(flags[flags.index("--gops") + 1])
 
-    def dispatch(win, first, real):
+    def dispatch(self, win, first, real):
+        import jax
+
         # slice BEFORE stacking: only the key frame ships full-res (the
         # full stack would copy ~22 MB/GOP of non-key frames for nothing)
         key_frames = np.stack([w_[0][0:1] for w_ in win])  # (G, 1, H, W, 3)
@@ -109,12 +123,12 @@ def run_real(clip: str | None = None) -> dict:
         # payload dtype config-gated: f16 default (half the tunnel
         # traffic; the f32-input program variants reproducibly faulted
         # the axon backend — bisected round 2, re-check with --f32)
-        mvs = np.stack([w_[2][1:] for w_ in win]).astype(dt)
-        ress = np.stack([w_[3][1:] for w_ in win]).astype(dt)
+        mvs = np.stack([w_[2][1:] for w_ in win]).astype(self.dt)
+        ress = np.stack([w_[3][1:] for w_ in win]).astype(self.dt)
         info = win[0][4][None]
-        out = det.process_gops(key_frames, smalls, mvs, ress, info,
-                               first=first)
-        if sync:
+        out = self.det.process_gops(key_frames, smalls, mvs, ress, info,
+                                    first=first)
+        if self.sync:
             # sync per window: overlapping the next window's host->device
             # transfer with in-flight compute faults the axon tunnel
             # runtime (round-1 finding, reproduced). Decode still
@@ -122,67 +136,89 @@ def run_real(clip: str | None = None) -> dict:
             jax.block_until_ready(out[2])
         return n_frames_win, out
 
-    # warmup: one-time FFmpeg/export-mvs init + jit compile
-    warm = [pv.gop(0)] * G
-    det.reset()
-    _, wout = dispatch(warm, True, G)
-    jax.block_until_ready(wout[2])
+    def warmup(self):
+        """One-time FFmpeg/export-mvs init + jit compile."""
+        import jax
+
+        warm = [self.pv.gop(0)] * self.G
+        self.det.reset()
+        _, wout = self.dispatch(warm, True, self.G)
+        jax.block_until_ready(wout[2])
+
+
+def e2e_trial(arm: E2EArm) -> tuple[float, float, float]:
+    """One decode-included trial: a producer thread decoding GOPs through
+    the C++ data plane, overlapped with the device window loop. Returns
+    (fps, decode ms/frame, device-path ms/frame)."""
+    import jax
+
+    arm.pv._gop = -1                       # drop the GOP cache: real decode
+    arm.det.reset()
+    G = arm.G
+    q: queue.Queue = queue.Queue(maxsize=2 * G)
+    decode_s = [0.0]
+
+    def producer():
+        for g in range(arm.n_gops):
+            t0 = time.perf_counter()
+            payload = arm.pv.gop(g)
+            arm.pv._gop = -1
+            decode_s[0] += time.perf_counter() - t0
+            q.put(payload)
+        q.put(None)
+
+    th = threading.Thread(target=producer, daemon=True)
+    t0 = time.perf_counter()
+    th.start()
+    n_frames = 0
+    dev_wait = 0.0
+    first = True
+    window = []
+    done = False
+    prev_out = None           # overlap mode: double-buffered windows
+    while not done:
+        item = q.get()
+        if item is None:
+            done = True
+        else:
+            window.append(item)
+        if len(window) == G or (done and window):
+            real = len(window)
+            while len(window) < G:         # pad the tail window
+                window.append(window[-1])
+            d0 = time.perf_counter()
+            nf, out = arm.dispatch(window, first, real)
+            n_frames += nf
+            if not arm.sync:
+                # bound in-flight work to 2 windows: block on the
+                # PREVIOUS window while this one computes/transfers
+                if prev_out is not None:
+                    jax.block_until_ready(prev_out[2])
+                prev_out = out
+            dev_wait += time.perf_counter() - d0
+            first = False
+            window = []
+    if prev_out is not None:
+        jax.block_until_ready(prev_out[2])
+    wall = time.perf_counter() - t0
+    return (n_frames / wall, decode_s[0] / n_frames * 1000,
+            dev_wait / n_frames * 1000)
+
+
+def run_real(clip: str | None = None) -> dict:
+    """Decode-included pipeline: C++ prepared decode (producer thread)
+    overlapped with the device GOP loop (consumer)."""
+    import os
+
+    arm = E2EArm(clip=clip)
+    clip = arm.clip
+    sync = arm.sync
+    arm.warmup()
 
     fps_trials = []
-    host_ms = dev_ms = 0.0
     for trial in range(TRIALS):
-        pv._gop = -1                       # drop the GOP cache: real decode
-        det.reset()
-        q: queue.Queue = queue.Queue(maxsize=2 * G)
-        decode_s = [0.0]
-
-        def producer():
-            for g in range(n_gops):
-                t0 = time.perf_counter()
-                payload = pv.gop(g)
-                pv._gop = -1
-                decode_s[0] += time.perf_counter() - t0
-                q.put(payload)
-            q.put(None)
-
-        th = threading.Thread(target=producer, daemon=True)
-        t0 = time.perf_counter()
-        th.start()
-        n_frames = 0
-        dev_wait = 0.0
-        first = True
-        window = []
-        done = False
-        prev_out = None       # overlap mode: double-buffered windows
-        while not done:
-            item = q.get()
-            if item is None:
-                done = True
-            else:
-                window.append(item)
-            if len(window) == G or (done and window):
-                real = len(window)
-                while len(window) < G:     # pad the tail window
-                    window.append(window[-1])
-                d0 = time.perf_counter()
-                nf, out = dispatch(window, first, real)
-                n_frames += nf
-                if not sync:
-                    # bound in-flight work to 2 windows: block on the
-                    # PREVIOUS window while this one computes/transfers
-                    if prev_out is not None:
-                        jax.block_until_ready(prev_out[2])
-                    prev_out = out
-                dev_wait += time.perf_counter() - d0
-                first = False
-                window = []
-        if prev_out is not None:
-            jax.block_until_ready(prev_out[2])
-        wall = time.perf_counter() - t0
-        fps = n_frames / wall
+        fps, host_ms, dev_ms = e2e_trial(arm)
         fps_trials.append(fps)
-        host_ms = decode_s[0] / n_frames * 1000
-        dev_ms = dev_wait / n_frames * 1000
         print(f"trial {trial}: {fps:.1f} FPS (decode {host_ms:.1f} ms/f, "
               f"device-path {dev_ms:.1f} ms/f)", file=sys.stderr, flush=True)
 
