@@ -57,6 +57,8 @@ def _build_detector(batch: int = 1, flags: list[str] | None = None):
         cfg.tpu.mv_res_dtype = "float32"
     if "--bgr8" in flags:         # A/B: packed-BGR payloads (i420 default)
         cfg.tpu.frame_payload = "bgr8"
+    if "--nms-pallas" in flags:   # A/B: fused-VMEM RPN-NMS kernel
+        cfg.tpu.nms_pallas = True
     model = lsfa_from_config(cfg)
     h, w = cfg.tpu.default_bucket
     fh, fw = h // 16, w // 16

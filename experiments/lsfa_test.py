@@ -140,11 +140,16 @@ def main():
                     help="write the first N annotated frames")
     ap.add_argument("--thresh", type=float, default=None,
                     help="detection score threshold override")
+    ap.add_argument("--decode-workers", type=int, default=None,
+                    help="lane-parallel decode threads (multi-lane runs; "
+                         "default cfg.tpu.decode_workers)")
     args = ap.parse_args()
 
     from lsfa_tpu.config import load_config
 
     cfg = load_config(args.cfg)
+    if args.decode_workers is not None:
+        cfg.tpu.decode_workers = args.decode_workers
     run_test(cfg, ckpt_dir=args.ckpt, ignore_cache=args.ignore_cache,
              max_frames=args.max_frames, lanes=args.lanes,
              mesh_shape=args.mesh, vis_frames=args.vis, thresh=args.thresh)

@@ -180,6 +180,16 @@ def get_default_config() -> AttrDict:
     # RPN NMS runs on the top-k tier of pre-NMS boxes (exact when the tier
     # yields >= post_nms keeps — see ops/proposal.py). 0 = strict full set.
     p.nms_tier = 2048
+    # lane-parallel decode workers for multistream eval (0 = serial).
+    # The ctypes data plane releases the GIL, so on an N-core serving
+    # host N workers scale decode ~linearly; the 1-core bench host
+    # gains nothing, hence the serial default. Outputs are identical.
+    p.decode_workers = 0
+    # route the proposal-NMS suppression fixpoint through the fused
+    # Pallas kernel (ops/pallas_nms.py: IoU build + sweeps all in VMEM)
+    # instead of the XLA matvec formulation. Only affects the RPN tier
+    # (N % 128 == 0); per-class NMS (N=300) always uses the XLA path.
+    p.nms_pallas = False
     # ---- axon-runtime workarounds, config-gated. Round-2 bisected three
     # faults; round-3 re-bisection on the updated runtime (2026-08-17):
     # overlapped transfers FIXED, standalone GOP program FIXED, f32

@@ -100,13 +100,14 @@ def detect_single(rpn_fg, rpn_deltas, cls_map, bbox_map, anchors, im_info,
                   feat_stride: int = 16, max_per_image: int = 300,
                   nms_thresh: float = 0.3, score_thresh: float = 1e-3,
                   bbox_stds=(0.1, 0.1, 0.2, 0.2), nms_tier: int = 0,
-                  group_size: int = 7, num_reg_classes: int = 2):
+                  group_size: int = 7, num_reg_classes: int = 2,
+                  nms_pallas: bool = False):
     """Single-image (unbatched maps) detection pipeline. vmap-friendly."""
     rois, _, roi_valid = rpn_proposals(
         rpn_fg, rpn_deltas, anchors, im_info,
         pre_nms_top_n=pre_nms, post_nms_top_n=post_nms,
         nms_thresh=rpn_nms_thresh, min_size=min_size, feat_stride=feat_stride,
-        nms_tier=nms_tier)
+        nms_tier=nms_tier, use_pallas=nms_pallas)
     pooled_cls = psroi_pool(cls_map, rois, output_dim=num_classes,
                             group_size=group_size, pooled_size=group_size,
                             spatial_scale=1.0 / feat_stride)

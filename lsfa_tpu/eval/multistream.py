@@ -60,7 +60,12 @@ class MultiStreamEvalLoader:
         self.playlists = build_lane_playlists(video_roidb, lanes,
                                               self.interval)
         self.n_steps = max(len(p) for p in self.playlists)
-        self._prepared: dict = {}     # video_path -> PreparedVideo
+        # per-LANE caches: an idle lane replays video 0 alongside the lane
+        # that owns it, and decoder handles (+ their one-GOP caches) are
+        # not thread-safe — so lanes never share a PreparedVideo. Steps are
+        # sequential and each lane is decoded by exactly one pool task per
+        # step, so per-lane dicts need no lock.
+        self._prepared: list = [{} for _ in range(lanes)]
         from lsfa_tpu.data.loader import payload_dtype, prepared_available
         self._dtype = payload_dtype(cfg)
         # ONE wire format for every lane and step: lanes run lockstep
@@ -76,24 +81,25 @@ class MultiStreamEvalLoader:
                 and all(rec.get("video_path") for rec in video_roidb)):
             self._wire = "i420"
 
-    def _prepared_frame(self, rec, fid):
+    def _prepared_frame(self, lane, rec, fid):
         """C++ data-plane fast path; None when unavailable for this rec."""
         from lsfa_tpu.data.loader import PreparedVideo, prepared_available
 
         video = rec.get("video_path")
         if video is None or not prepared_available():
             return None
-        pv = self._prepared.pop(video, None)
+        cache = self._prepared[lane]
+        pv = cache.pop(video, None)
         if pv is not None:
-            self._prepared[video] = pv     # LRU: re-insert as newest
+            cache[video] = pv              # LRU: re-insert as newest
         if pv is None:
             # bounded cache: each PreparedVideo holds a ~30 MB GOP cache;
-            # keep at most one per lane plus slack
-            if len(self._prepared) >= 2 * self.lanes:
-                self._prepared.pop(next(iter(self._prepared)))
+            # a lane is on one video at a time, keep one of slack
+            if len(cache) >= 2:
+                cache.pop(next(iter(cache)))
             pv = PreparedVideo(video, self.cfg, self.bucket_hw,
                                wire_fmt=self._wire)
-            self._prepared[video] = pv
+            cache[video] = pv
         if fid >= pv.num_frames:
             return None
         return pv.frame(fid)
@@ -113,75 +119,89 @@ class MultiStreamEvalLoader:
             res = np.zeros(im.shape[:2] + (3,), np.float32)
         return im, mv, res
 
-    def __iter__(self):
+    def _lane_step(self, l, t):
+        """Decode lane l's frame for step t. Returns
+        (data, small, mv, res, info_row, (vi, fid, real)). Touches only
+        this lane's prepared cache — safe to run lanes concurrently."""
         cfg = self.cfg
         target, max_size = cfg.SCALES[0]
         bh, bw = self.bucket_hw
         fb = (bh // 16, bw // 16)
         from lsfa_tpu.data.image import small_pool_factor
         s = small_pool_factor(cfg.network.small_net_stride)
+        pl = self.playlists[l]
+        vi, fid, real = pl[min(t, len(pl) - 1)]
+        real = real and t < len(pl)
+        rec = self.roidb[vi]
+        prep = self._prepared_frame(l, rec, fid)
+        if prep is not None:
+            data, small, mv_p, res_p, info = prep
+            return data, small, mv_p, res_p, list(info[0]), (vi, fid, real)
+        im, mv, res = self._frame(rec, fid)
+        im_r, im_scale = resize(im, target, max_size)
+        data = pad_to_bucket(
+            np.clip(np.round(im_r), 0, 255).astype(np.uint8)[None],
+            self.bucket_hw)
+        small = np.clip(np.round(data.astype(np.float32).reshape(
+            1, bh // s, s, bw // s, s, 3).mean((2, 4))), 0,
+            255).astype(np.uint8)
+        if self._wire == "i420":
+            # short-stream tail frame in an i420 run: pack so the
+            # lane batch keeps one shape (see __init__)
+            from lsfa_tpu.data.image import bgr_to_i420
+            data = bgr_to_i420(data)
+            small = bgr_to_i420(small)
+        mv_t, res_t = transform_mv_res(
+            mv, res, im_scale, cfg.network.PIXEL_MEANS,
+            cfg.network.PIXEL_SCALE,
+            legacy_swap=bool(getattr(cfg.network,
+                                     "res_diff_legacy_swap", False)))
+        return (data, small,
+                pad_to_bucket(mv_t, fb).astype(self._dtype),
+                pad_to_bucket(res_t, fb).astype(self._dtype),
+                [im_r.shape[0], im_r.shape[1], im_scale],
+                (vi, fid, real))
+
+    def __iter__(self):
+        # optional lane-parallel decode: the ctypes data plane releases
+        # the GIL, so N workers scale decode ~linearly on an N-core
+        # serving host (tpu.decode_workers=0 keeps the 1-core serial
+        # path; outputs are identical either way — lanes are independent
+        # and results are reassembled in lane order)
+        workers = int(getattr(self.cfg.tpu, "decode_workers", 0))
+        pool = None
+        if workers > 1 and self.lanes > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            pool = ThreadPoolExecutor(max_workers=min(workers, self.lanes))
         prev_video = [-1] * self.lanes
-        for t in range(self.n_steps):
-            flag = 0 if t == 0 else (1 if t % self.interval == 0 else 2)
-            datas, smalls, mvs, ress, infos = [], [], [], [], []
-            lane_meta = []
-            is_first = np.zeros(self.lanes, np.float32)
-            for l in range(self.lanes):
-                pl = self.playlists[l]
-                vi, fid, real = pl[min(t, len(pl) - 1)]
-                real = real and t < len(pl)
-                rec = self.roidb[vi]
-                prep = self._prepared_frame(rec, fid)
-                if prep is not None:
-                    data, small, mv_p, res_p, info = prep
-                    datas.append(data)
-                    smalls.append(small)
-                    mvs.append(mv_p)
-                    ress.append(res_p)
-                    infos.append(list(info[0]))
-                    lane_meta.append((vi, fid, real))
+        try:
+            for t in range(self.n_steps):
+                flag = 0 if t == 0 else (1 if t % self.interval == 0 else 2)
+                if pool is not None:
+                    rows = list(pool.map(lambda l: self._lane_step(l, t),
+                                         range(self.lanes)))
+                else:
+                    rows = [self._lane_step(l, t)
+                            for l in range(self.lanes)]
+                is_first = np.zeros(self.lanes, np.float32)
+                for l, row in enumerate(rows):
+                    vi = row[5][0]
                     if flag in (0, 1) and vi != prev_video[l]:
                         is_first[l] = 1.0
                         prev_video[l] = vi
-                    continue
-                im, mv, res = self._frame(rec, fid)
-                im_r, im_scale = resize(im, target, max_size)
-                data = pad_to_bucket(
-                    np.clip(np.round(im_r), 0, 255).astype(np.uint8)[None],
-                    self.bucket_hw)
-                small = np.clip(np.round(data.astype(np.float32).reshape(
-                    1, bh // s, s, bw // s, s, 3).mean((2, 4))), 0,
-                    255).astype(np.uint8)
-                if self._wire == "i420":
-                    # short-stream tail frame in an i420 run: pack so the
-                    # lane batch keeps one shape (see __init__)
-                    from lsfa_tpu.data.image import bgr_to_i420
-                    data = bgr_to_i420(data)
-                    small = bgr_to_i420(small)
-                mv_t, res_t = transform_mv_res(
-                    mv, res, im_scale, cfg.network.PIXEL_MEANS,
-                    cfg.network.PIXEL_SCALE,
-                    legacy_swap=bool(getattr(cfg.network,
-                                             "res_diff_legacy_swap", False)))
-                datas.append(data)
-                smalls.append(small)
-                mvs.append(pad_to_bucket(mv_t, fb).astype(self._dtype))
-                ress.append(pad_to_bucket(res_t, fb).astype(self._dtype))
-                infos.append([im_r.shape[0], im_r.shape[1], im_scale])
-                lane_meta.append((vi, fid, real))
-                if flag in (0, 1) and vi != prev_video[l]:
-                    is_first[l] = 1.0
-                    prev_video[l] = vi
-            yield {
-                "flag": flag,
-                "is_first": is_first,
-                "data": np.concatenate(datas),
-                "small": np.concatenate(smalls),
-                "motion_vector": np.concatenate(mvs),
-                "res_diff": np.concatenate(ress),
-                "im_info": np.asarray(infos, np.float32),
-                "lane_meta": lane_meta,
-            }
+                yield {
+                    "flag": flag,
+                    "is_first": is_first,
+                    "data": np.concatenate([r[0] for r in rows]),
+                    "small": np.concatenate([r[1] for r in rows]),
+                    "motion_vector": np.concatenate([r[2] for r in rows]),
+                    "res_diff": np.concatenate([r[3] for r in rows]),
+                    "im_info": np.asarray([r[4] for r in rows], np.float32),
+                    "lane_meta": [r[5] for r in rows],
+                }
+        finally:
+            if pool is not None:
+                pool.shutdown()
 
 
 def eval_videos_multistream(model, variables, cfg, video_roidb,

@@ -75,6 +75,7 @@ class StreamingDetector:
             score_thresh=cfg.TEST.SCORE_THRESH,
             bbox_stds=tuple(cfg.TRAIN.BBOX_STDS),
             nms_tier=cfg.tpu.nms_tier,
+            nms_pallas=cfg.tpu.nms_pallas,
             num_reg_classes=(2 if cfg.CLASS_AGNOSTIC
                              else cfg.dataset.NUM_CLASSES),
         )

@@ -67,12 +67,28 @@ def _kernel(boxes_ref, valid_ref, alive_ref, sup_ref, *, iou_thresh,
 
     valid = valid_ref[:].astype(jnp.float32)           # (1, N)
 
-    def sweep(_, alive):
+    def sweep(alive):
         hit = jnp.dot(alive.astype(jnp.bfloat16), sup_ref[:],
                       preferred_element_type=jnp.float32)
         return valid * jnp.where(hit == 0.0, 1.0, 0.0)
 
-    alive = jax.lax.fori_loop(0, num_sweeps, sweep, valid)
+    # fixpoint exit mirrors ops.nms._greedy_alive: real suppression chains
+    # converge in 3-6 sweeps, so exiting on alive == prev (tested on
+    # device, all-VMEM operands) drops ~25 no-op matvecs off the default
+    # 31-sweep cap while keeping the cap for adversarial chains.
+    def cond(c):
+        a, prev, i = c
+        return jnp.logical_and(i < num_sweeps, jnp.any(a != prev))
+
+    def body(c):
+        a, _, i = c
+        return sweep(a), a, i + 1
+
+    if num_sweeps <= 0:
+        alive = valid
+    else:
+        alive, _, _ = jax.lax.while_loop(
+            cond, body, (sweep(valid), valid, jnp.int32(1)))
     alive_ref[:] = alive
 
 

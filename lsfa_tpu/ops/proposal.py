@@ -31,12 +31,12 @@ from lsfa_tpu.ops.nms import nms_fixed
 
 @partial(jax.jit, static_argnames=("pre_nms_top_n", "post_nms_top_n",
                                    "nms_thresh", "min_size", "feat_stride",
-                                   "nms_tier", "iou_loss"))
+                                   "nms_tier", "iou_loss", "use_pallas"))
 def rpn_proposals(fg_scores, bbox_deltas, anchors, im_info,
                   pre_nms_top_n: int = 6000, post_nms_top_n: int = 300,
                   nms_thresh: float = 0.7, min_size: int = 16,
                   feat_stride: int = 16, nms_tier: int = 0,
-                  iou_loss: bool = False):
+                  iou_loss: bool = False, use_pallas: bool = False):
     """Single-image proposal generation.
 
     Args:
@@ -99,7 +99,7 @@ def rpn_proposals(fg_scores, bbox_deltas, anchors, im_info,
     # (5) NMS (fixed shape; top_k output is already rank-sorted)
     keep_idx, keep_valid = nms_fixed(top_boxes, top_scores, nms_thresh,
                                      post_nms_top_n, valid=top_valid,
-                                     presorted=True)
+                                     presorted=True, use_pallas=use_pallas)
     out_boxes = top_boxes[keep_idx]
     out_scores = jnp.where(keep_valid, top_scores[keep_idx], 0.0)
 

@@ -379,3 +379,39 @@ def test_i420_odd_width_pad_boundary(clip):
     # bounded by the BT.601 chroma range (|cb|,|cr| <= 112 around 128)
     dev = np.abs(out[:sh, sw] - pad_expected).max()
     assert dev <= 230.0 * cfg.network.PIXEL_SCALE, dev
+
+
+def test_multistream_pooled_decode_equals_serial(tmp_path):
+    """tpu.decode_workers > 1 decodes lanes concurrently (per-lane
+    PreparedVideo caches, ctypes drops the GIL); lanes are independent
+    streams, so every batch must be BIT-identical to the serial path."""
+    from lsfa_tpu.config import get_default_config
+    from lsfa_tpu.eval.multistream import MultiStreamEvalLoader
+
+    cfg = get_default_config()
+    cfg.SCALES = [(TARGET, MAXSZ)]
+    cfg.tpu.default_bucket = list(BUCKET)
+    cfg.TEST.KEY_FRAME_INTERVAL = 12
+
+    roidb = []
+    for i in range(3):                     # 3 videos over 2 lanes
+        vp = str(tmp_path / f"pv{i}.mp4")
+        coviar.encode_test_video(vp, n_frames=24, w=W, h=H, gop_size=12,
+                                 seed=10 + i)
+        roidb.append({"frame_seg_len": 24, "video_path": vp,
+                      "pattern": str(tmp_path / "none%06d.JPEG")})
+
+    def run(workers):
+        cfg.tpu.decode_workers = workers
+        loader = MultiStreamEvalLoader(roidb, cfg, lanes=2,
+                                       bucket_hw=BUCKET)
+        return list(loader)
+
+    serial, pooled = run(0), run(3)
+    assert len(serial) == len(pooled)
+    for a, b in zip(serial, pooled):
+        assert a["flag"] == b["flag"]
+        assert a["lane_meta"] == b["lane_meta"]
+        np.testing.assert_array_equal(a["is_first"], b["is_first"])
+        for k in ("data", "small", "motion_vector", "res_diff", "im_info"):
+            np.testing.assert_array_equal(a[k], b[k])
