@@ -68,6 +68,12 @@ def _lib():
         lib.coviar_encode_frames.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    if hasattr(lib, "coviar_encode_frames_br"):
+        lib.coviar_encode_frames_br.restype = ctypes.c_int
+        lib.coviar_encode_frames_br.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int64]
     if hasattr(lib, "coviar_decode_gop_prepared_mode"):
         lib.coviar_decode_gop_prepared_mode.restype = ctypes.c_int
         lib.coviar_decode_gop_prepared_mode.argtypes = [
@@ -382,10 +388,14 @@ def encode_test_video(path: str, n_frames: int = 36, w: int = 128,
         raise IOError(f"encode failed rc={rc}")
 
 
-def encode_frames(path: str, frames, gop_size: int = 12):
+def encode_frames(path: str, frames, gop_size: int = 12,
+                  bit_rate: int | None = None):
     """Encode (N, H, W, 3) uint8 BGR frames to an MPEG-4 stream with a
     fixed GOP — the synthetic-dataset generator's encoder (data/synth.py).
-    H and W must be even (YUV420 chroma subsampling)."""
+    H and W must be even (YUV420 chroma subsampling). `bit_rate`
+    (bits/sec; encoder default 2 Mbps when None) controls compression —
+    the hardened benchmark profile encodes at a low rate so the
+    MV/residual streams carry real quantization noise."""
     import numpy as np
 
     lib = _lib()
@@ -394,8 +404,14 @@ def encode_frames(path: str, frames, gop_size: int = 12):
     frames = np.ascontiguousarray(frames, np.uint8)
     n, h, w, c = frames.shape
     assert c == 3 and h % 2 == 0 and w % 2 == 0, frames.shape
-    rc = lib.coviar_encode_frames(
-        path.encode(), frames.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        n, w, h, gop_size)
+    buf = frames.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    if bit_rate is None:
+        rc = lib.coviar_encode_frames(path.encode(), buf, n, w, h, gop_size)
+    else:
+        if not hasattr(lib, "coviar_encode_frames_br"):
+            raise RuntimeError("libcoviar_tpu.so predates "
+                               "coviar_encode_frames_br — rebuild native/")
+        rc = lib.coviar_encode_frames_br(path.encode(), buf, n, w, h,
+                                         gop_size, int(bit_rate))
     if rc != 0:
         raise IOError(f"encode failed rc={rc}")

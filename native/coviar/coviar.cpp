@@ -1129,7 +1129,8 @@ COVIAR_API int coviar_decode_gop_prepared(
 static int encode_test_video_impl(const char* path, int n_frames,
                                   int w, int hgt, int gop_size,
                                   int seed, int b_frames,
-                                  const uint8_t* bgr = nullptr) {
+                                  const uint8_t* bgr = nullptr,
+                                  int64_t bit_rate = 2000000) {
     const AVCodec* codec = avcodec_find_encoder(AV_CODEC_ID_MPEG4);
     if (!codec) return -1;
     AVFormatContext* fmt = nullptr;
@@ -1143,7 +1144,7 @@ static int encode_test_video_impl(const char* path, int n_frames,
     enc->time_base = {1, 25};
     enc->gop_size = gop_size;
     enc->max_b_frames = b_frames;
-    enc->bit_rate = 2000000;
+    enc->bit_rate = bit_rate;
     if (fmt->oformat->flags & AVFMT_GLOBALHEADER)
         enc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
     if (avcodec_open2(enc, codec, nullptr) < 0) return -3;
@@ -1248,4 +1249,14 @@ COVIAR_API int coviar_encode_frames(const char* path, const uint8_t* bgr,
                                     int gop_size) {
     return encode_test_video_impl(path, n_frames, w, hgt, gop_size, 0, 0,
                                   bgr);
+}
+
+// Same, with an explicit target bitrate (bits/sec) — lower rates give the
+// blockier, noisier MV/residual streams the hardened synthetic benchmark
+// uses (data/synth.py profile="hard").
+COVIAR_API int coviar_encode_frames_br(const char* path, const uint8_t* bgr,
+                                       int n_frames, int w, int hgt,
+                                       int gop_size, int64_t bit_rate) {
+    return encode_test_video_impl(path, n_frames, w, hgt, gop_size, 0, 0,
+                                  bgr, bit_rate);
 }
