@@ -96,6 +96,16 @@ def get_default_config() -> AttrDict:
     n.small_net_fuse_type = "add"
     n.add_Nq_net = True
     n.add_Fgfa_net = False
+    # ablation-ladder switches (NOT reference knobs — the reference has no
+    # "off" position for these; they exist so the module ablation can
+    # isolate what each LSFA stage buys, VERDICT r3 item 1):
+    #   add_rnet=False   -> non-key frames skip the residual branch
+    #                       entirely (pure MV warp, CoViAR/DFF-style)
+    #   add_lt_aggregation=False -> key frames use the fresh backbone
+    #                       feature directly (no FlowNet, no Nq/Fgfa —
+    #                       plain DFF key behavior, get_batch_test_symbol)
+    n.add_rnet = True
+    n.add_lt_aggregation = True
 
     d = c.dataset = AttrDict()
     d.dataset = "ImageNetVID"

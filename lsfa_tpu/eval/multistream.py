@@ -49,7 +49,14 @@ def build_lane_playlists(video_roidb, lanes: int, interval: int):
 
 
 class MultiStreamEvalLoader:
-    """Yields lockstep lane-batched frames for StreamingDetector(batch=B)."""
+    """Yields lockstep lane-batched frames for StreamingDetector(batch=B).
+
+    Ownership: one loader instance serves ONE iteration at a time — the
+    per-lane decoder caches (`_prepared`, `_raw`) are instance state
+    mutated from __iter__'s worker threads, so construct a fresh loader
+    per run rather than iterating one instance concurrently (or
+    re-iterating while a DevicePrefetcher still drains the previous
+    generator)."""
 
     def __init__(self, video_roidb, cfg, lanes: int = 4, bucket_hw=None):
         self.roidb = video_roidb
@@ -66,6 +73,13 @@ class MultiStreamEvalLoader:
         # sequential and each lane is decoded by exactly one pool task per
         # step, so per-lane dicts need no lock.
         self._prepared: list = [{} for _ in range(lanes)]
+        # same per-lane isolation for the NON-prepared compressed fallback:
+        # the module-level coviar.load shares one lru-cached handle, whose
+        # lock would serialize lanes and whose one-GOP cache ping-pongs
+        # when two lanes touch the same video at different GOPs (idle-lane
+        # replay) — per-lane raw readers keep decode_workers effective on
+        # this path too
+        self._raw: list = [{} for _ in range(lanes)]
         from lsfa_tpu.data.loader import payload_dtype, prepared_available
         self._dtype = payload_dtype(cfg)
         # ONE wire format for every lane and step: lanes run lockstep
@@ -104,15 +118,28 @@ class MultiStreamEvalLoader:
             return None
         return pv.frame(fid)
 
-    def _frame(self, rec, fid):
+    def _raw_reader(self, lane, video):
+        """Per-lane VideoReader for the non-prepared fallback (bounded
+        LRU mirroring the PreparedVideo caches)."""
+        cache = self._raw[lane]
+        r = cache.pop(video, None)
+        if r is None:
+            if len(cache) >= 2:
+                cache.pop(next(iter(cache))).close()
+            r = coviar.VideoReader(video)
+        cache[video] = r
+        return r
+
+    def _frame(self, lane, rec, fid):
         cfg = self.cfg
         video = rec.get("video_path")
         if video is not None and coviar.available() \
                 and fid < coviar.get_num_frames(video):
             gop, pos = fid // GOP_SIZE, fid % GOP_SIZE
-            im = coviar.load(video, gop, pos, 0).astype(np.float32)
-            mv = -coviar.load(video, gop, pos, 1).astype(np.float32)
-            res = coviar.load(video, gop, pos, 2).astype(np.float32)
+            bgr, mv_g, res_g = self._raw_reader(lane, video).decode_gop(gop)
+            im = bgr[pos].astype(np.float32)
+            mv = -mv_g[pos].astype(np.float32)
+            res = res_g[pos].astype(np.float32)
         else:
             im = _read_jpeg_bgr(rec["pattern"] % fid)
             mv = np.zeros(im.shape[:2] + (2,), np.float32)
@@ -137,7 +164,7 @@ class MultiStreamEvalLoader:
         if prep is not None:
             data, small, mv_p, res_p, info = prep
             return data, small, mv_p, res_p, list(info[0]), (vi, fid, real)
-        im, mv, res = self._frame(rec, fid)
+        im, mv, res = self._frame(l, rec, fid)
         im_r, im_scale = resize(im, target, max_size)
         data = pad_to_bucket(
             np.clip(np.round(im_r), 0, 255).astype(np.uint8)[None],

@@ -52,6 +52,10 @@ class LSFA(nn.Module):
     small_net_scale_before_fuse: bool = False
     add_Nq_net: bool = True
     add_Fgfa_net: bool = False
+    # ablation switches (no reference analog — see config.py): disable the
+    # residual branch / the whole long-term aggregation stage
+    add_rnet: bool = True
+    add_lt_aggregation: bool = True
     anchor_means: Sequence[float] = (0.0, 0.0, 0.0, 0.0)
     anchor_stds: Sequence[float] = (0.1, 0.1, 0.4, 0.4)
     normalize_rpn: bool = True
@@ -87,15 +91,19 @@ class LSFA(nn.Module):
         self.feat_conv_3x3 = nn.Conv(
             self.feat_dim, (3, 3), kernel_dilation=(6, 6), padding="SAME",
             dtype=self.dtype, name="feat_conv_3x3")
-        self.flownet = FlowNetS(feat_dim=self.feat_dim, dtype=self.dtype,
-                                name="flownet")
-        self.rnet = RNet(num_conv=self.rnet_num_conv, feat_dim=self.feat_dim,
-                         use_bn=self.res_diff_bn, dtype=self.dtype, name="rnet")
+        if self.add_lt_aggregation:
+            self.flownet = FlowNetS(feat_dim=self.feat_dim, dtype=self.dtype,
+                                    name="flownet")
+        if self.add_rnet:
+            self.rnet = RNet(num_conv=self.rnet_num_conv,
+                             feat_dim=self.feat_dim,
+                             use_bn=self.res_diff_bn, dtype=self.dtype,
+                             name="rnet")
         self.fnet = FNet(fnet_type=self.fnet_type, feat_dim=self.feat_dim,
                          dtype=self.dtype, name="fnet")
-        if self.add_Nq_net:
+        if self.add_Nq_net and self.add_lt_aggregation:
             self.aggregator = NqNet(dtype=self.dtype, name="nq_net")
-        elif self.add_Fgfa_net:
+        elif self.add_Fgfa_net and self.add_lt_aggregation:
             self.aggregator = FgfaEmbed(dtype=self.dtype, name="fgfa_net")
         else:
             self.aggregator = None
@@ -183,7 +191,11 @@ class LSFA(nn.Module):
     def long_term_aggregate(self, fresh_feat, old_feat, img_cur, img_old,
                             train: bool = False):
         """FlowNet warp of the previous key feature + quality-weighted
-        fusion with the fresh feature (reference :305-315, :467-476)."""
+        fusion with the fresh feature (reference :305-315, :467-476).
+        With add_lt_aggregation=False (ablation rung): the fresh feature
+        passes through untouched — plain DFF key-frame behavior."""
+        if not self.add_lt_aggregation:
+            return fresh_feat
         flow, scale_map = self.flownet(img_cur, img_old)
         # flow (B, H/16, W/16, 2) in feature-cell units
         warped = flow_warp(old_feat, flow) * scale_map
@@ -202,13 +214,17 @@ class LSFA(nn.Module):
         inference the host ships only the small image (~16x fewer pixels).
         """
         warped = flow_warp(key_feat, motion_vector)
-        r = self.rnet(res_diff, train)
-        if self.fuse_type == "add":
-            fused = warped + r
-        elif self.fuse_type == "concat":
-            fused = self.fuse_downsample(jnp.concatenate([warped, r], axis=-1))
+        if not self.add_rnet:
+            fused = warped               # ablation rung: pure MV warp
         else:
-            raise ValueError(self.fuse_type)
+            r = self.rnet(res_diff, train)
+            if self.fuse_type == "add":
+                fused = warped + r
+            elif self.fuse_type == "concat":
+                fused = self.fuse_downsample(
+                    jnp.concatenate([warped, r], axis=-1))
+            else:
+                raise ValueError(self.fuse_type)
         if "conv" in self.fnet_type:
             fused = self.fnet(fused)
         if self.add_small_net:
@@ -271,15 +287,21 @@ class LSFA(nn.Module):
         data_ref = self.preprocess(data_ref)
         data_ref_old = self.preprocess(data_ref_old)
         b = data.shape[0]
-        both = jnp.concatenate([data_ref, data_ref_old], axis=0)
-        feats = self.conv_feat(both, train=True)
-        feat_ref, feat_old = feats[:b], feats[b:]
-        feat_prop = self.long_term_aggregate(feat_ref, feat_old,
-                                             data_ref, data_ref_old, train=True)
-        # ChooseFeat (reference operator_py/choose_feat.py): fresh feature
-        # when the pair is degenerate (cur==key or old==ref), else aggregated
-        use_fresh = ((eq_flag > 0) | (eq_flag_old > 0)).reshape(b, 1, 1, 1)
-        key_feat = jnp.where(use_fresh, feat_ref, feat_prop)
+        if not self.add_lt_aggregation:
+            # ablation rung: the old-ref frame plays no role — skip its
+            # backbone pass entirely
+            key_feat = self.conv_feat(data_ref, train=True)
+        else:
+            both = jnp.concatenate([data_ref, data_ref_old], axis=0)
+            feats = self.conv_feat(both, train=True)
+            feat_ref, feat_old = feats[:b], feats[b:]
+            feat_prop = self.long_term_aggregate(
+                feat_ref, feat_old, data_ref, data_ref_old, train=True)
+            # ChooseFeat (reference operator_py/choose_feat.py): fresh
+            # feature when the pair is degenerate (cur==key or old==ref),
+            # else aggregated
+            use_fresh = ((eq_flag > 0) | (eq_flag_old > 0)).reshape(b, 1, 1, 1)
+            key_feat = jnp.where(use_fresh, feat_ref, feat_prop)
 
         cur_feat = self.short_term_propagate(key_feat, motion_vector, res_diff,
                                              cur_img=data, train=True)
@@ -398,6 +420,8 @@ def lsfa_from_config(cfg):
         small_net_scale_before_fuse=n.small_net_scale_before_fuse,
         add_Nq_net=n.add_Nq_net,
         add_Fgfa_net=n.add_Fgfa_net,
+        add_rnet=bool(getattr(n, "add_rnet", True)),
+        add_lt_aggregation=bool(getattr(n, "add_lt_aggregation", True)),
         anchor_means=tuple(n.ANCHOR_MEANS),
         anchor_stds=tuple(n.ANCHOR_STDS),
         normalize_rpn=n.NORMALIZE_RPN,

@@ -1,0 +1,84 @@
+"""Compiled (Mosaic-lowered) pallas NMS on real TPU hardware.
+
+ADVICE r3: the in-kernel lax.while_loop (vector carries + early-exit
+reduction in cond) was only exercised in interpret mode by CI; a TPU
+lowering regression would have been invisible. The suite pins
+JAX_PLATFORMS=cpu in conftest, so this test drives the TPU in a clean
+subprocess: greedy_alive_pallas compiled, plus one case under jax.vmap
+(the detect_batch path). Skips when no TPU is attached.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+_SCRIPT = r"""
+import sys
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+if jax.default_backend() not in ("tpu", "axon"):
+    sys.exit(77)
+
+sys.path.insert(0, %(repo)r)
+from lsfa_tpu.ops.nms import _greedy_alive
+from lsfa_tpu.ops.pallas_nms import greedy_alive_pallas
+
+rng = np.random.default_rng(0)
+def rand_boxes(n):
+    x1 = rng.uniform(0, 360, n).astype(np.float32)
+    y1 = rng.uniform(0, 360, n).astype(np.float32)
+    w = rng.uniform(4, 80, n).astype(np.float32)
+    h = rng.uniform(4, 80, n).astype(np.float32)
+    return np.stack([x1, y1, x1 + w, y1 + h], 1)
+
+# single instance, compiled (interpret=False -> Mosaic lowering)
+n = 256
+boxes = rand_boxes(n)
+valid = np.ones(n, bool)
+valid[200:] = False
+want = np.asarray(_greedy_alive(jnp.asarray(boxes), jnp.asarray(valid),
+                                0.5, 16))
+got = np.asarray(greedy_alive_pallas(jnp.asarray(boxes),
+                                     jnp.asarray(valid), 0.5, 16))
+np.testing.assert_array_equal(got, want)
+
+# suppression chain: deep in-kernel while_loop + fixpoint exit on TPU
+w_, s_ = 21.0, 6.0
+x1 = np.arange(128, dtype=np.float32) * s_
+chain = np.stack([x1, np.zeros(128, np.float32), x1 + w_ - 1.0,
+                  np.full(128, 20.0, np.float32)], 1)
+got = np.asarray(greedy_alive_pallas(jnp.asarray(chain),
+                                     jnp.asarray(np.ones(128, bool)),
+                                     0.5, 128))
+exp = np.zeros(128, bool); exp[::2] = True
+np.testing.assert_array_equal(got, exp)
+
+# vmapped batch (the detect_batch path): per-row parity with XLA
+B = 3
+bb = np.stack([rand_boxes(n) for _ in range(B)])
+vv = np.ones((B, n), bool)
+f = jax.vmap(lambda b, v: greedy_alive_pallas(b, v, 0.6, 16))
+got = np.asarray(jax.jit(f)(jnp.asarray(bb), jnp.asarray(vv)))
+for i in range(B):
+    want = np.asarray(_greedy_alive(jnp.asarray(bb[i]), jnp.asarray(vv[i]),
+                                    0.6, 16))
+    np.testing.assert_array_equal(got[i], want, err_msg=f"row {i}")
+print("tpu pallas nms OK")
+"""
+
+
+def test_pallas_nms_compiled_on_tpu():
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    r = subprocess.run([sys.executable, "-c", _SCRIPT % {"repo": repo}],
+                       env=env, capture_output=True, text=True, timeout=560)
+    if r.returncode == 77:
+        pytest.skip("no TPU attached")
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "tpu pallas nms OK" in r.stdout

@@ -28,7 +28,12 @@ DTYPE_BYTES = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4,
 
 
 def shape_bytes(shape_str):
-    """'f32[12,304,512,6]{3,2,1,0}' -> bytes (0 when unparsable)."""
+    """'f32[12,304,512,6]{3,2,1,0}' -> bytes. Tuple-shaped results
+    ('(f32[...], s32[...])' — fusion/copy ops with multiple outputs) sum
+    their leaf shapes instead of ranking as 0 bytes."""
+    if shape_str.lstrip().startswith("("):
+        return sum(shape_bytes(m.group(0)) for m in
+                   re.finditer(r"\w+\[[\d,]*\]", shape_str))
     m = re.match(r"(\w+)\[([\d,]*)\]", shape_str)
     if not m:
         return 0

@@ -47,6 +47,19 @@ def main():
     ap.add_argument("--tag", default="", help="suffix for report/curves "
                                               "filenames")
     ap.add_argument("--max-eval-frames", type=int, default=None)
+    ap.add_argument("--profile", default="easy", choices=["easy", "hard"],
+                    help="synthetic-data difficulty (data/synth.py: hard = "
+                         "occluders, distractors, camera motion, low "
+                         "bitrate)")
+    ap.add_argument("--rung", default="full",
+                    choices=["full", "small", "rnet", "mv_only", "rfcn"],
+                    help="LSFA module-ablation rung: full = flagship "
+                         "(MV warp + R-net + small-net + Nq long-term); "
+                         "small drops the Nq/FlowNet long-term stage; rnet "
+                         "additionally drops the small net; mv_only is pure "
+                         "DFF-style MV warping; rfcn is the single-frame "
+                         "R-FCN baseline (full backbone every frame, DCN "
+                         "kept on so the delta isolates aggregation)")
     args = ap.parse_args()
 
     import jax
@@ -65,14 +78,35 @@ def main():
     os.makedirs(args.out, exist_ok=True)
 
     if args.cpu_smoke:
-        cfg = load_config("configs/lsfa_tiny_smoke.yaml")
+        cfg = load_config("configs/rfcn_tiny_smoke.yaml"
+                          if args.rung == "rfcn"
+                          else "configs/lsfa_tiny_smoke.yaml")
         sizes = ((128, 96), (96, 128))
         cfg.TRAIN.RPN_PRE_NMS_TOP_N = 256
         cfg.TRAIN.RPN_POST_NMS_TOP_N = 64
         cfg.TRAIN.BATCH_ROIS_OHEM = 32
+    elif args.rung == "rfcn":
+        cfg = load_config("configs/rfcn_resnet101_vid.yaml")
+        # the ladder isolates AGGREGATION: give the single-frame baseline
+        # the same DCN backbone the LSFA rungs use
+        cfg.network.add_dcn = True
+        sizes = ((960, 576), (576, 960))
     else:
         cfg = load_config("configs/lsfa_resnet101_vid.yaml")
         sizes = ((960, 576), (576, 960))
+    # ablation-rung module switches (models/lsfa.py gated setup; the
+    # reference graph with everything on is rung "full"):
+    #   mv_only: key = fresh backbone, non-key = pure MV warp (DFF-style)
+    #   rnet:    + residual-correction branch on non-key frames
+    #   small:   + small-image detail net
+    #   full:    + FlowNet/Nq long-term key aggregation (flagship)
+    if args.rung in ("mv_only", "rnet", "small"):
+        cfg.network.add_lt_aggregation = False
+        cfg.network.add_Nq_net = False
+        if args.rung in ("mv_only", "rnet"):
+            cfg.network.add_small_net = False
+        if args.rung == "mv_only":
+            cfg.network.add_rnet = False
     cfg.output_path = args.out
     # synth classes are ids 1..8 of the 31-class head; the rest stay bg
     logger, out_dir = create_logger(cfg.output_path, cfg.symbol, "synth")
@@ -80,10 +114,10 @@ def main():
     t0 = time.perf_counter()
     train_roidb, _, _ = make_synth_vid_dataset(
         args.data, n_videos=args.videos, n_frames=args.frames,
-        seed=0, sizes=sizes, split="train")
+        seed=0, sizes=sizes, split="train", profile=args.profile)
     _, val_roidb, val_annos = make_synth_vid_dataset(
         args.data, n_videos=args.val_videos, n_frames=36,
-        seed=1000, sizes=sizes, split="val")
+        seed=1000, sizes=sizes, split="val", profile=args.profile)
     logger.info(f"synth data ready in {time.perf_counter() - t0:.1f}s: "
                 f"{len(train_roidb)} train frames, {len(val_roidb)} val "
                 f"videos")
@@ -151,8 +185,14 @@ def main():
     model, _, init_bs = init_model(cfg)
     variables = {"params": params, "batch_stats": batch_stats or init_bs}
     t_eval = time.perf_counter()
-    dets = eval_videos(model, variables, cfg, val_roidb, logger=logger,
-                       max_frames=args.max_eval_frames)
+    if args.rung == "rfcn":
+        from lsfa_tpu.eval.driver import eval_videos_rfcn
+        dets = eval_videos_rfcn(model, variables, cfg, val_roidb,
+                                logger=logger,
+                                max_frames=args.max_eval_frames)
+    else:
+        dets = eval_videos(model, variables, cfg, val_roidb, logger=logger,
+                           max_frames=args.max_eval_frames)
     eval_wall = time.perf_counter() - t_eval
     n_cls = cfg.dataset.NUM_CLASSES
     ap = vid_eval(dets, val_annos, n_cls)
@@ -170,6 +210,8 @@ def main():
                 f"{len(gt_classes)} gt classes ({n_det} detections)")
 
     report = {
+        "rung": args.rung,
+        "profile": args.profile,
         "steps": args.steps,
         "train_wall_s": round(train_wall, 1),
         "steps_per_s": round(args.steps / train_wall, 3),
