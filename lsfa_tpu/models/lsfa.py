@@ -335,7 +335,11 @@ class LSFA(nn.Module):
         first = (is_first > 0).reshape(b, 1, 1, 1)
         old = jnp.where(first, fresh, feat_key_old)
         prop = self.long_term_aggregate(fresh, old, data, data_key_old, train=False)
-        feat = jnp.where(first, fresh, prop)
+        # the streaming feature cache is f32 by design (bf16 recurrence was
+        # a recorded accuracy regression, DESIGN.md); cast explicitly — with
+        # add_lt_aggregation=False the bf16 backbone output would otherwise
+        # flow straight into the f32 scan carry and fail to trace
+        feat = jnp.where(first, fresh, prop).astype(jnp.float32)
         rpn_feat, rfcn_feat = self._split(feat)
         rpn_cls, rpn_bbox = self.rpn_head(rpn_feat)
         cls_map, bbox_map = self.rfcn_maps(rfcn_feat)

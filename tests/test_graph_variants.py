@@ -152,3 +152,50 @@ def test_rung_inference_graphs(overrides):
                             method=model.forward_cur)
     assert out_c["feat"].shape == (b, FH, FW, 64)
     assert np.isfinite(np.asarray(out_c["rpn_fg"], np.float32)).all()
+
+
+@pytest.mark.parametrize("overrides", [
+    dict(),
+    dict(add_rnet=False),
+    dict(add_lt_aggregation=False, add_Nq_net=False),
+    dict(add_rnet=False, add_small_net=False, add_lt_aggregation=False,
+         add_Nq_net=False),
+], ids=["full", "no_rnet", "no_lt", "mv_only"])
+def test_rung_bf16_scan_window(overrides):
+    """Every rung's eval graph must run under the PRODUCTION compute dtype
+    (bf16) through the scanned GOP window, whose f32 feature-cache carry is
+    dtype-strict. Regression: with add_lt_aggregation=False the bf16
+    backbone feature flowed straight into the f32 carry and the scan failed
+    to trace (r4 ablation ladder, mv_only eval)."""
+    from lsfa_tpu.eval.tester import StreamingDetector
+
+    model = LSFA(**{**BASE, **overrides}, dtype=jnp.bfloat16)
+    b = 1
+    data = jnp.zeros((b, H, W, 3))
+    mv = jnp.zeros((b, FH, FW, 2))
+    res = jnp.zeros((b, FH, FW, 3))
+    ones = jnp.ones((b,))
+    variables = model.init(jax.random.PRNGKey(0), data, data, data,
+                           ones, ones, mv, res)
+    cfg = get_default_config()
+    cfg.dataset.NUM_CLASSES = 5
+    cfg.network.DFF_FEAT_DIM = 64
+    cfg.tpu.default_bucket = (H, W)
+    cfg.TEST.RPN_PRE_NMS_TOP_N = 64
+    cfg.TEST.RPN_POST_NMS_TOP_N = 16
+    cfg.TEST.max_per_image = 10
+    det = StreamingDetector(model, variables, cfg, (H, W))
+    rng = np.random.default_rng(3)
+    g, n, s = 2, 2, 4
+    keys = rng.normal(100, 40, (g, b, H, W, 3)).astype(np.float32)
+    smalls = rng.normal(100, 40, (g, n, H // s, W // s, 3)).astype(np.float32)
+    mvs = rng.normal(0, 0.5, (g, n, FH, FW, 2)).astype(np.float32)
+    ress = rng.normal(0, 5, (g, n, FH, FW, 3)).astype(np.float32)
+    im_info = np.asarray([[float(H), float(W), 1.0]], np.float32)
+    kd, kv, cd, cv = det.process_gops(keys, smalls, mvs, ress, im_info,
+                                      first=True)
+    assert np.asarray(kd).shape == (g, b, 10, 6)
+    assert np.isfinite(np.asarray(kd)).all()
+    assert np.isfinite(np.asarray(cd)).all()
+    # the carried feature cache stays f32 across windows
+    assert det.feat_key.dtype == jnp.float32

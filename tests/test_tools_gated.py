@@ -49,3 +49,24 @@ def test_train_synth_full_cpu_smoke(tmp_path):
     curves = [json.loads(l)
               for l in open(tmp_path / "run" / "curves.jsonl")]
     assert len(curves) >= 2 and all("total_loss" in c for c in curves)
+
+
+@slow
+def test_report_mfu_tiny_smoke(tmp_path):
+    out = str(tmp_path / "mfu.json")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run([sys.executable,
+                        os.path.join(ROOT, "tools", "report_mfu.py"),
+                        "--tiny", "--trials", "2", "--gops", "2",
+                        "--out", out], capture_output=True, text=True,
+                       timeout=1800, cwd=ROOT, env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.load(open(out))
+    progs = rep["programs"]
+    assert set(progs) == {"key_step", "cur_batch_step", "scan_window",
+                          "train_step"}
+    for name, row in progs.items():
+        assert row["ms"] > 0 and row["gflop"] > 0, name
+        assert row["arith_intensity_flop_per_byte"] > 0, name
+    assert progs["scan_window"]["device_fps"] > 0
+    assert progs["train_step"]["steps_per_s"] > 0

@@ -1,0 +1,71 @@
+#!/bin/bash
+# LSFA module-ablation ladder on the hardened synthetic VID benchmark
+# (VERDICT r3 item 1): each rung trains the REAL recipe on the TPU via
+# tools/train_synth_full.py and evaluates held-out mAP through the
+# production eval driver. Rungs share one cached dataset (--data).
+#
+#   mv_only -> pure DFF-style MV warping (no R-net / small net / Nq)
+#   rnet    -> + residual-correction branch
+#   small   -> + small-image detail net
+#   full    -> + FlowNet/Nq long-term key aggregation (flagship)
+#   rfcn    -> single-frame R-FCN reference point (full backbone per frame)
+#
+# Usage: tools/run_ablation_ladder.sh [STEPS] [PROFILE] [OUTROOT]
+set -u
+set -o pipefail
+STEPS=${1:-4500}
+PROFILE=${2:-hard}
+OUTROOT=${3:-/tmp/lsfa_ablation}
+DATA=${DATA:-/tmp/lsfa_synth_data}
+REPO=$(cd "$(dirname "$0")/.." && pwd)
+ART="$REPO/runs/ablation_r04"
+mkdir -p "$ART" "$OUTROOT"
+
+# single-instance lock: two concurrent ladders resume each other's
+# partial checkpoints and fight over the one TPU (observed r4: the full
+# rung trained by two processes at once never converged its RPN)
+LOCK=/tmp/lsfa_ablation.lock
+exec 9>"$LOCK"
+if ! flock -n 9; then
+  echo "another ladder instance holds $LOCK — refusing to start" >&2
+  exit 1
+fi
+
+for RUNG in full mv_only rnet small rfcn; do
+  OUT="$OUTROOT/$RUNG"
+  if [ -f "$ART/report_$RUNG.json" ]; then
+    echo "=== rung $RUNG already done, skipping ==="
+    continue
+  fi
+  # crash resume: pick up from the last epoch checkpoint instead of
+  # retraining, and keep the longest curves file seen so far (a resumed
+  # run that goes straight to eval rewrites curves.jsonl empty)
+  RESUME=""
+  if [ -d "$OUT/checkpoints" ] && [ -n "$(ls -A "$OUT/checkpoints" 2>/dev/null)" ]; then
+    RESUME="--resume"
+    echo "(resuming rung $RUNG from $OUT/checkpoints)"
+  fi
+  if [ -s "$OUT/curves.jsonl" ]; then
+    cp "$OUT/curves.jsonl" "$OUT/curves.backup.jsonl"
+  fi
+  echo "=== rung $RUNG ($STEPS steps, profile=$PROFILE) ==="
+  JAX_COMPILATION_CACHE_DIR=/tmp/jax_cache \
+  python "$REPO/tools/train_synth_full.py" \
+    --rung "$RUNG" --profile "$PROFILE" --steps "$STEPS" \
+    --out "$OUT" --data "$DATA" $RESUME \
+    > "$OUT.log" 2>&1
+  rc=$?
+  tail -5 "$OUT.log"
+  if [ -f "$OUT/curves.backup.jsonl" ] && \
+     [ "$(wc -c < "$OUT/curves.backup.jsonl")" -gt "$(wc -c < "$OUT/curves.jsonl" 2>/dev/null || echo 0)" ]; then
+    mv "$OUT/curves.backup.jsonl" "$OUT/curves.jsonl"
+  fi
+  if [ -f "$OUT/report.json" ]; then
+    cp "$OUT/report.json" "$ART/report_$RUNG.json"
+    cp "$OUT/curves.jsonl" "$ART/curves_$RUNG.jsonl" 2>/dev/null
+  else
+    echo "rung $RUNG FAILED (rc=$rc)"
+  fi
+done
+echo "=== ladder complete ==="
+ls -la "$ART"
