@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Render the LSFA module-ablation ladder into a markdown table.
+
+Reads runs/ablation_r04/report_<rung>.json (written by
+tools/run_ablation_ladder.sh) and writes ABLATION.md next to them — the
+in-environment analog of the reference's figs/results.png accuracy table:
+each LSFA module must buy measurable mAP over plain DFF-style MV warping.
+
+Usage: python tools/render_ablation.py [--dir runs/ablation_r04]
+"""
+
+import argparse
+import json
+import os
+
+LADDER = [
+    ("rfcn", "single-frame R-FCN (full backbone every frame, DCN)"),
+    ("mv_only", "DFF-style: key backbone + pure MV warp on non-key"),
+    ("rnet", "+ R-net residual-correction branch"),
+    ("small", "+ small-image detail net"),
+    ("full", "+ FlowNet/Nq long-term key aggregation (flagship)"),
+]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dir", default="runs/ablation_r04")
+    args = ap.parse_args()
+
+    reports = {}
+    for rung, _ in LADDER:
+        p = os.path.join(args.dir, f"report_{rung}.json")
+        if os.path.exists(p):
+            reports[rung] = json.load(open(p))
+
+    lines = [
+        "# LSFA module-ablation ladder (synthetic VID, hard profile)",
+        "",
+        "Each rung trains the REAL recipe (ResNet-101+DCN, OHEM, LR"
+        " schedule, bf16, native compressed loader) on the hardened"
+        " synthetic benchmark (occluders, distractors, camera pan/zoom,"
+        " motion blur, low bitrate — data/synth.py HARD_PROFILE) and"
+        " evaluates held-out mAP@0.5 through the production streaming"
+        " eval driver. All rungs share the dataset, step budget, and"
+        " hyperparameters; only the aggregation modules change.",
+        "",
+        "| rung | modules | mAP | delta vs prev rung | steps/s | eval"
+        " frames |",
+        "|---|---|---|---|---|---|",
+    ]
+    prev = None
+    for rung, desc in LADDER:
+        r = reports.get(rung)
+        if r is None:
+            lines.append(f"| {rung} | {desc} | _pending_ | | | |")
+            continue
+        m = r["mAP_synth_val"]
+        delta = "" if prev is None else f"{m - prev:+.4f}"
+        # the rfcn -> mv_only step is a speed/accuracy trade, not a module
+        # addition; deltas only chain within the LSFA rungs
+        if rung == "mv_only":
+            delta = "(baseline for module deltas)"
+        lines.append(f"| {rung} | {desc} | {m:.4f} | {delta} | "
+                     f"{r['steps_per_s']:.2f} | {r['eval_frames']} |")
+        prev = m
+    lines += [
+        "",
+        "Per-class AP spread (hard profile de-saturates the easy"
+        " benchmark's 1.0 rows):",
+        "",
+        "| rung | " + " | ".join(f"cls{c}" for c in range(1, 9)) + " |",
+        "|---|" + "---|" * 8,
+    ]
+    for rung, _ in LADDER:
+        r = reports.get(rung)
+        if r is None:
+            continue
+        aps = r.get("ap_per_class", {})
+        lines.append(f"| {rung} | " + " | ".join(
+            f"{aps.get(str(c), aps.get(c, float('nan'))):.3f}"
+            for c in range(1, 9)) + " |")
+    lines += [
+        "",
+        "Reference analog: figs/results.png + README.md:14-17 (77.2 mAP"
+        " ILSVRC2015-VID, not reproducible in this environment — no"
+        " dataset, no released checkpoint). Module map:"
+        " resnet_v1_101_flownet_rfcn.py:553-586 (R-net/small/Nq),"
+        " :661-751 (DFF-only batch graph).",
+        "",
+    ]
+    out = os.path.join(args.dir, "ABLATION.md")
+    with open(out, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {out} ({len(reports)}/{len(LADDER)} rungs)")
+
+
+if __name__ == "__main__":
+    main()
