@@ -61,6 +61,12 @@ def get_default_config() -> AttrDict:
     n = c.network = AttrDict()
     n.pretrained = ""
     n.pretrained_flow = ""
+    # orbax checkpoint dir of a trained detector (e.g. the single-frame
+    # R-FCN baseline): its shared modules (backbone, feat_conv_3x3, RPN,
+    # R-FCN heads + BN stats) warm-start this model before training —
+    # the in-environment analog of the reference's pretrained ResNet +
+    # combine_model recipe (train_end2end.py:107-115)
+    n.pretrained_detector = ""
     n.nettype = "resnet"
     n.num_layer = 101
     n.pretrained_epoch = 0

@@ -27,7 +27,8 @@ from lsfa_tpu.data.dataset import (
 from lsfa_tpu.data.loader import TrainLoader
 from lsfa_tpu.models.lsfa import lsfa_from_config
 from lsfa_tpu.parallel import make_mesh
-from lsfa_tpu.train.checkpoint import load_checkpoint, save_checkpoint, seed_small_net
+from lsfa_tpu.train.checkpoint import (
+    combine_checkpoints, load_checkpoint, save_checkpoint, seed_small_net)
 from lsfa_tpu.train.import_mxnet import import_mxnet_lsfa
 from lsfa_tpu.train.schedule import make_optimizer
 from lsfa_tpu.train.train_step import (
@@ -93,6 +94,20 @@ def init_model(cfg, rng_seed: int = 0, logger=None):
         name = str(getattr(cfg.network, key, "") or "")
         if not name:
             continue
+        if key == "pretrained_flow" and os.path.isdir(name):
+            # an orbax checkpoint dir (tools/pretrain_flow.py output): the
+            # in-env stand-in for the reference's FlyingChairs-pretrained
+            # FlowNet .params half of combine_model
+            restored, flow_step = load_checkpoint(name)
+            if "flownet" not in restored.get("params", {}):
+                raise ValueError(f"pretrained_flow dir {name} has no "
+                                 f"'flownet' param subtree")
+            variables["params"], n_f = combine_checkpoints(
+                variables["params"], {"flownet": restored["params"]["flownet"]})
+            if logger is not None:
+                logger.info(f"warm-started {n_f} flownet tensors from "
+                            f"{name} (epoch {flow_step})")
+            continue
         path = name if name.endswith(".params") else (
             "%s-%04d.params" % (name, int(cfg.network.pretrained_epoch)))
         if os.path.exists(path):
@@ -107,6 +122,32 @@ def init_model(cfg, rng_seed: int = 0, logger=None):
         if logger is not None:
             logger.info(f"imported {len(report['imported'])} tensors from "
                         f"{path} ({len(report['unused'])} unused)")
+
+    det = str(getattr(cfg.network, "pretrained_detector", "") or "")
+    if det:
+        # warm-start the shared detection stack from a trained detector
+        # checkpoint (orbax dir, e.g. the single-frame R-FCN baseline's) —
+        # the combine_model role for in-env two-stage training; module
+        # names are identical across RFCN and LSFA, so subtree merge by
+        # name + shape transfers backbone/feat_conv/RPN/heads and leaves
+        # aggregation modules (flownet/rnet/small/Nq) at fresh init
+        restored, det_step = load_checkpoint(det)
+        shared = ("backbone", "feat_conv_3x3", "rpn_cls_score",
+                  "rpn_bbox_pred", "rfcn_cls", "rfcn_bbox")
+        src_p = {k: v for k, v in restored["params"].items() if k in shared}
+        merged_p, n_p = combine_checkpoints(variables["params"], src_p)
+        src_b = {k: v for k, v in (restored.get("batch_stats") or {}).items()
+                 if k in shared}
+        merged_b, n_b = combine_checkpoints(variables["batch_stats"], src_b)
+        if n_p == 0:
+            raise ValueError(
+                f"pretrained_detector {det} (epoch {det_step}) shares no "
+                f"parameter with this model — wrong checkpoint?")
+        variables = {"params": merged_p, "batch_stats": merged_b}
+        if logger is not None:
+            logger.info(f"warm-started {n_p} param + {n_b} batch-stat "
+                        f"tensors from detector checkpoint {det} "
+                        f"(epoch {det_step})")
 
     params = seed_small_net(variables["params"])
     pd = str(getattr(cfg.tpu, "param_dtype", "float32"))

@@ -70,3 +70,19 @@ def test_report_mfu_tiny_smoke(tmp_path):
         assert row["arith_intensity_flop_per_byte"] > 0, name
     assert progs["scan_window"]["device_fps"] > 0
     assert progs["train_step"]["steps_per_s"] > 0
+
+
+@slow
+def test_pretrain_flow_cpu_smoke(tmp_path):
+    r = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "tools", "pretrain_flow.py"),
+         "--cpu-smoke", "--steps", "8", "--log-every", "4",
+         "--out", str(tmp_path / "flow"), "--data", str(tmp_path / "data")],
+        capture_output=True, text=True, timeout=1800, cwd=ROOT)
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.load(open(tmp_path / "flow" / "flow_pretrain.json"))
+    assert rep["steps"] == 8 and rep["photo_final"] > 0
+    # the checkpoint is consumable by init_model's pretrained_flow branch
+    from lsfa_tpu.train.checkpoint import load_checkpoint
+    restored, step = load_checkpoint(str(tmp_path / "flow"))
+    assert step == 8 and "flownet" in restored["params"]

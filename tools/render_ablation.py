@@ -6,6 +6,10 @@ tools/run_ablation_ladder.sh) and writes ABLATION.md next to them — the
 in-environment analog of the reference's figs/results.png accuracy table:
 each LSFA module must buy measurable mAP over plain DFF-style MV warping.
 
+report_<rung>_scratch.json files (the round-4 single-stage run, every
+module trained jointly from scratch) render as a second column — the
+recorded negative result motivating the two-stage recipe.
+
 Usage: python tools/render_ablation.py [--dir runs/ablation_r04]
 """
 
@@ -27,11 +31,14 @@ def main():
     ap.add_argument("--dir", default="runs/ablation_r04")
     args = ap.parse_args()
 
-    reports = {}
+    reports, scratch = {}, {}
     for rung, _ in LADDER:
         p = os.path.join(args.dir, f"report_{rung}.json")
         if os.path.exists(p):
             reports[rung] = json.load(open(p))
+        p = os.path.join(args.dir, f"report_{rung}_scratch.json")
+        if os.path.exists(p):
+            scratch[rung] = json.load(open(p))
 
     lines = [
         "# LSFA module-ablation ladder (synthetic VID, hard profile)",
@@ -44,15 +51,27 @@ def main():
         " eval driver. All rungs share the dataset, step budget, and"
         " hyperparameters; only the aggregation modules change.",
         "",
-        "| rung | modules | mAP | delta vs prev rung | steps/s | eval"
-        " frames |",
-        "|---|---|---|---|---|---|",
+        "Training is TWO-STAGE, mirroring the reference recipe"
+        " (pretrained ResNet + combine_model,"
+        " dff_rfcn/train_end2end.py:107-115): the single-frame rfcn rung"
+        " is stage A; every LSFA rung warm-starts its shared detection"
+        " stack from that checkpoint (network.pretrained_detector) and"
+        " fine-tunes end-to-end with its aggregation modules. The `full`"
+        " rung additionally warm-starts FlowNet from a photometric"
+        " self-supervised pretrain (tools/pretrain_flow.py) — the in-env"
+        " stand-in for the reference's FlyingChairs FlowNet .params.",
+        "",
+        "| rung | modules | mAP (two-stage) | delta vs prev rung |"
+        " mAP (joint from scratch) | steps/s | eval frames |",
+        "|---|---|---|---|---|---|---|",
     ]
     prev = None
     for rung, desc in LADDER:
         r = reports.get(rung)
+        s = scratch.get(rung)
+        s_map = f"{s['mAP_synth_val']:.4f}" if s else ""
         if r is None:
-            lines.append(f"| {rung} | {desc} | _pending_ | | | |")
+            lines.append(f"| {rung} | {desc} | _pending_ | | {s_map} | | |")
             continue
         m = r["mAP_synth_val"]
         delta = "" if prev is None else f"{m - prev:+.4f}"
@@ -60,10 +79,19 @@ def main():
         # addition; deltas only chain within the LSFA rungs
         if rung == "mv_only":
             delta = "(baseline for module deltas)"
-        lines.append(f"| {rung} | {desc} | {m:.4f} | {delta} | "
+        lines.append(f"| {rung} | {desc} | {m:.4f} | {delta} | {s_map} | "
                      f"{r['steps_per_s']:.2f} | {r['eval_frames']} |")
         prev = m
     lines += [
+        "",
+        "The from-scratch column is the recorded negative result: with"
+        " every module trained jointly from random init at the same step"
+        " budget, the warped-feature rungs never converge their RPN"
+        " regression (rpn_bbox median ~1.0 at 4.5k steps, spiking to"
+        " 20-60 on high-camera-motion batches, vs 0.045 for rfcn — see"
+        " curves_*_scratch.jsonl) and the ladder inverts. Pretraining is"
+        " load-bearing in the reference recipe, and the rebuild"
+        " reproduces that.",
         "",
         "Per-class AP spread (hard profile de-saturates the easy"
         " benchmark's 1.0 rows):",

@@ -46,6 +46,15 @@ def main():
                          "params/opt state incl. the LR-schedule step)")
     ap.add_argument("--tag", default="", help="suffix for report/curves "
                                               "filenames")
+    ap.add_argument("--init-from", default="",
+                    help="orbax checkpoint dir of a trained detector (the "
+                         "rfcn rung's) to warm-start the shared detection "
+                         "stack from — the reference's pretrained-backbone "
+                         "+ combine_model recipe, in-env")
+    ap.add_argument("--init-flow", default="",
+                    help="orbax checkpoint dir holding a pretrained flownet "
+                         "subtree (tools/pretrain_flow.py) — the reference's "
+                         "pretrained-FlowNet half of combine_model")
     ap.add_argument("--max-eval-frames", type=int, default=None)
     ap.add_argument("--profile", default="easy", choices=["easy", "hard"],
                     help="synthetic-data difficulty (data/synth.py: hard = "
@@ -107,6 +116,10 @@ def main():
             cfg.network.add_small_net = False
         if args.rung == "mv_only":
             cfg.network.add_rnet = False
+    if args.init_from:
+        cfg.network.pretrained_detector = args.init_from
+    if args.init_flow:
+        cfg.network.pretrained_flow = args.init_flow
     cfg.output_path = args.out
     # synth classes are ids 1..8 of the 31-class head; the rest stay bg
     logger, out_dir = create_logger(cfg.output_path, cfg.symbol, "synth")
