@@ -23,7 +23,8 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
-from lsfa_tpu.models.layers import BatchNorm, avg_pool, conv, global_avg_pool
+from lsfa_tpu.models.layers import (
+    INIT01, INIT_MSRA, BatchNorm, avg_pool, conv, global_avg_pool)
 
 
 class RNet(nn.Module):
@@ -40,8 +41,8 @@ class RNet(nn.Module):
         if self.use_bn:
             x = BatchNorm(frozen=False, dtype=self.dtype, name="bn")(x, train)
         for i in range(self.num_conv):
-            x = nn.relu(conv(x, 256, 3, name=f"conv{i}", dtype=self.dtype))
-        return conv(x, self.feat_dim, 1, name=f"conv{self.num_conv}", dtype=self.dtype)
+            x = nn.relu(conv(x, 256, 3, name=f"conv{i}", dtype=self.dtype, kernel_init=INIT01))
+        return conv(x, self.feat_dim, 1, name=f"conv{self.num_conv}", dtype=self.dtype, kernel_init=INIT01)
 
 
 class FNet(nn.Module):
@@ -56,12 +57,12 @@ class FNet(nn.Module):
         t = self.fnet_type
         if "conv" in t:
             for i in range(int(t.split("#")[1])):
-                x = nn.relu(conv(x, self.feat_dim, 3, name=f"conv{i}", dtype=self.dtype))
+                x = nn.relu(conv(x, self.feat_dim, 3, name=f"conv{i}", dtype=self.dtype, kernel_init=INIT01))
             return x
         if "res" in t:
-            h = nn.relu(conv(x, 256, 1, name="conv0", dtype=self.dtype))
-            h = nn.relu(conv(h, 256, 3, name="conv1", dtype=self.dtype))
-            h = nn.relu(conv(h, self.feat_dim, 1, name="conv2", dtype=self.dtype))
+            h = nn.relu(conv(x, 256, 1, name="conv0", dtype=self.dtype, kernel_init=INIT01))
+            h = nn.relu(conv(h, 256, 3, name="conv1", dtype=self.dtype, kernel_init=INIT01))
+            h = nn.relu(conv(h, self.feat_dim, 1, name="conv2", dtype=self.dtype, kernel_init=INIT01))
             return h + x
         return x  # 'None': identity
 
@@ -76,9 +77,9 @@ class NqNet(nn.Module):
         # shared tower applied to both inputs (reference concatenates on the
         # batch axis; functionally identical)
         both = jnp.stack([warp_feat, conv_feat], axis=0).astype(self.dtype)
-        h = nn.relu(conv(both, 256, 3, name="conv1", dtype=self.dtype))
-        h = nn.relu(conv(h, 16, 1, name="conv2", dtype=self.dtype))
-        logits = conv(h, 1, 1, name="conv3", dtype=self.dtype)   # (2, ..., 1)
+        h = nn.relu(conv(both, 256, 3, name="conv1", dtype=self.dtype, kernel_init=INIT01))
+        h = nn.relu(conv(h, 16, 1, name="conv2", dtype=self.dtype, kernel_init=INIT01))
+        logits = conv(h, 1, 1, name="conv3", dtype=self.dtype, kernel_init=INIT01)   # (2, ..., 1)
         wgt = nn.softmax(logits.astype(jnp.float32), axis=0)
         return wgt[0] * warp_feat + wgt[1] * conv_feat
 
@@ -91,9 +92,9 @@ class FgfaEmbed(nn.Module):
     @nn.compact
     def __call__(self, warp_feat, conv_feat):
         both = jnp.stack([conv_feat, warp_feat], axis=0).astype(self.dtype)
-        e = nn.relu(conv(both, 512, 1, name="em_conv1", dtype=self.dtype))
-        e = nn.relu(conv(e, 512, 3, name="em_conv2", dtype=self.dtype))
-        e = conv(e, 2048, 1, name="em_conv3", dtype=self.dtype).astype(jnp.float32)
+        e = nn.relu(conv(both, 512, 1, name="em_conv1", dtype=self.dtype, kernel_init=INIT_MSRA))
+        e = nn.relu(conv(e, 512, 3, name="em_conv2", dtype=self.dtype, kernel_init=INIT_MSRA))
+        e = conv(e, 2048, 1, name="em_conv3", dtype=self.dtype, kernel_init=INIT_MSRA).astype(jnp.float32)
         e_cur, e_warp = e[0], e[1]
 
         def l2n(v):
@@ -128,42 +129,42 @@ class SmallNetFuse(nn.Module):
         cur = small_feat.astype(d)
         nf = cur.shape[-1]
         if self.scale_before_fuse:
-            cur = conv(cur, nf, 1, name="cur_scale", dtype=d)
+            cur = conv(cur, nf, 1, name="cur_scale", dtype=d, kernel_init=INIT01)
         ft = self.fuse_type
         if ft == "add":
-            cur = conv(cur, self.feat_dim, 3, name="fuse_reduce_add", dtype=d)
+            cur = conv(cur, self.feat_dim, 3, name="fuse_reduce_add", dtype=d, kernel_init=INIT01)
             if self.bn_before_fuse:
                 cur = BatchNorm(frozen=not train, dtype=d, name="cur_feat_bn")(cur, train)
                 warp_feat = BatchNorm(frozen=not train, dtype=d,
                                       name="warp_conv_feat_bn")(warp_feat, train)
             return cur + warp_feat
         if ft == "addv2":
-            cur = nn.relu(conv(cur, nf, 3, name="fuse_reduce_add_conv1", dtype=d))
-            cur = conv(cur, self.feat_dim, 1, name="fuse_reduce_add_conv2", dtype=d)
+            cur = nn.relu(conv(cur, nf, 3, name="fuse_reduce_add_conv1", dtype=d, kernel_init=INIT01))
+            cur = conv(cur, self.feat_dim, 1, name="fuse_reduce_add_conv2", dtype=d, kernel_init=INIT01)
             if self.bn_before_fuse:
                 cur = BatchNorm(frozen=False, dtype=d, name="cur_feat_bn")(cur, train)
                 warp_feat = BatchNorm(frozen=False, dtype=d,
                                       name="warp_conv_feat_bn")(warp_feat, train)
             return cur + warp_feat
         if ft == "concat":
-            cur = conv(cur, 512, 3, name="fuse_reduce_c1", dtype=d)
-            wrp = conv(warp_feat, 512, 3, name="fuse_reduce_c2", dtype=d)
+            cur = conv(cur, 512, 3, name="fuse_reduce_c1", dtype=d, kernel_init=INIT01)
+            wrp = conv(warp_feat, 512, 3, name="fuse_reduce_c2", dtype=d, kernel_init=INIT01)
             cat = jnp.concatenate([wrp, cur], axis=-1)
-            return conv(cat, self.feat_dim, 3, name="fuse_reduce", dtype=d)
+            return conv(cat, self.feat_dim, 3, name="fuse_reduce", dtype=d, kernel_init=INIT01)
         if ft == "concatv1":
-            cur = conv(cur, 512, 3, name="fuse_reduce_c1", dtype=d)
-            wrp = conv(warp_feat, 512, 3, name="fuse_reduce_c2", dtype=d)
+            cur = conv(cur, 512, 3, name="fuse_reduce_c1", dtype=d, kernel_init=INIT01)
+            wrp = conv(warp_feat, 512, 3, name="fuse_reduce_c2", dtype=d, kernel_init=INIT01)
             cat = jnp.concatenate([wrp, cur], axis=-1)
-            cat = nn.relu(conv(cat, self.feat_dim, 3, name="fuse_reduce", dtype=d))
+            cat = nn.relu(conv(cat, self.feat_dim, 3, name="fuse_reduce", dtype=d, kernel_init=INIT01))
             s = global_avg_pool(cat)
-            s = nn.relu(conv(s, self.feat_dim, 1, name="s_feat_conv1", dtype=d))
-            s = nn.sigmoid(conv(s, self.feat_dim, 1, name="s_feat_conv2", dtype=d))
+            s = nn.relu(conv(s, self.feat_dim, 1, name="s_feat_conv1", dtype=d, kernel_init=INIT01))
+            s = nn.sigmoid(conv(s, self.feat_dim, 1, name="s_feat_conv2", dtype=d, kernel_init=INIT01))
             return cat * s + cat
         if ft == "concatv2":
-            cur = conv(cur, self.feat_dim, 3, name="fuse_reduce_c1", dtype=d)
+            cur = conv(cur, self.feat_dim, 3, name="fuse_reduce_c1", dtype=d, kernel_init=INIT01)
             cat = jnp.concatenate([warp_feat, cur], axis=-1)
             s = global_avg_pool(cat)
-            s = nn.relu(conv(s, self.feat_dim, 1, name="s_feat_conv1", dtype=d))
-            s = nn.sigmoid(conv(s, self.feat_dim, 1, name="s_feat_conv2", dtype=d))
+            s = nn.relu(conv(s, self.feat_dim, 1, name="s_feat_conv1", dtype=d, kernel_init=INIT01))
+            s = nn.sigmoid(conv(s, self.feat_dim, 1, name="s_feat_conv2", dtype=d, kernel_init=INIT01))
             return cur * s + warp_feat
         raise ValueError(f"unknown small_net_fuse_type: {ft}")

@@ -52,13 +52,25 @@ def mx_pad(kernel: int, dilate: int = 1):
     return ((p, p), (p, p))
 
 
+# the reference's init for every NEW (non-pretrained) head: weights ~
+# Normal(0, 0.01), bias 0 (init_weight, resnet_v1_101_flownet_rfcn.py:
+# 763-868). Matters most for small-fan-in inputs: a lecun-normal 1x1 conv
+# on the 3-channel residual has std ~0.58 and its output (O(100) residual
+# values) swamps the pretrained features it is ADDED to.
+INIT01 = nn.initializers.normal(stddev=0.01)
+# FGFA embedding convs use MSRA std instead (get_msra_std, :748-751)
+INIT_MSRA = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+
+
 def conv(x, features: int, kernel: int = 1, stride: int = 1, dilate: int = 1,
-         use_bias: bool = True, name: str | None = None, dtype=jnp.float32):
+         use_bias: bool = True, name: str | None = None, dtype=jnp.float32,
+         kernel_init=None):
     """Odd-kernel conv with MXNet pad=(k-1)/2*dilate convention."""
+    kw = {} if kernel_init is None else {"kernel_init": kernel_init}
     return nn.Conv(
         features, (kernel, kernel), strides=(stride, stride),
         kernel_dilation=(dilate, dilate), padding=mx_pad(kernel, dilate),
-        use_bias=use_bias, name=name, dtype=dtype,
+        use_bias=use_bias, name=name, dtype=dtype, **kw,
     )(x)
 
 

@@ -26,6 +26,7 @@ from flax import linen as nn
 
 from lsfa_tpu.models.aggregation import FgfaEmbed, FNet, NqNet, RNet, SmallNetFuse
 from lsfa_tpu.models.flownet import FlowNetS
+from lsfa_tpu.models.layers import INIT01
 from lsfa_tpu.models.resnet import ResNetBackbone
 from lsfa_tpu.ops.warp import flow_warp
 
@@ -90,7 +91,7 @@ class LSFA(nn.Module):
             raise ValueError(f"unknown nettype: {self.nettype!r}")
         self.feat_conv_3x3 = nn.Conv(
             self.feat_dim, (3, 3), kernel_dilation=(6, 6), padding="SAME",
-            dtype=self.dtype, name="feat_conv_3x3")
+            dtype=self.dtype, name="feat_conv_3x3", kernel_init=INIT01)
         if self.add_lt_aggregation:
             self.flownet = FlowNetS(feat_dim=self.feat_dim, dtype=self.dtype,
                                     name="flownet")
@@ -122,18 +123,18 @@ class LSFA(nn.Module):
                 feat_dim=self.feat_dim, dtype=self.dtype, name="small_fuse")
         if self.fuse_type == "concat":
             self.fuse_downsample = nn.Conv(self.feat_dim, (1, 1),
-                                           dtype=self.dtype, name="fuse_downsample")
+                                           dtype=self.dtype, name="fuse_downsample", kernel_init=INIT01)
         # heads
         a = self.num_anchors
         self.rpn_cls_score = nn.Conv(2 * a, (1, 1), dtype=self.dtype,
-                                     name="rpn_cls_score")
+                                     name="rpn_cls_score", kernel_init=INIT01)
         self.rpn_bbox_pred = nn.Conv(4 * a, (1, 1), dtype=self.dtype,
-                                     name="rpn_bbox_pred")
+                                     name="rpn_bbox_pred", kernel_init=INIT01)
         g = 7
         self.rfcn_cls = nn.Conv(self.num_classes * g * g, (1, 1),
-                                dtype=self.dtype, name="rfcn_cls")
+                                dtype=self.dtype, name="rfcn_cls", kernel_init=INIT01)
         self.rfcn_bbox = nn.Conv(4 * self.num_reg_classes * g * g, (1, 1),
-                                 dtype=self.dtype, name="rfcn_bbox")
+                                 dtype=self.dtype, name="rfcn_bbox", kernel_init=INIT01)
 
     # ------- building blocks -------
 

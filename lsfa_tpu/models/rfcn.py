@@ -13,6 +13,7 @@ from typing import Any, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
+from lsfa_tpu.models.layers import INIT01
 from lsfa_tpu.models.resnet import ResNetBackbone
 
 
@@ -40,17 +41,17 @@ class RFCN(nn.Module):
             dtype=self.dtype, name="backbone")
         self.feat_conv_3x3 = nn.Conv(self.feat_dim, (3, 3), kernel_dilation=(6, 6),
                                      padding="SAME", dtype=self.dtype,
-                                     name="feat_conv_3x3")
+                                     name="feat_conv_3x3", kernel_init=INIT01)
         a = self.num_anchors
         self.rpn_cls_score = nn.Conv(2 * a, (1, 1), dtype=self.dtype,
-                                     name="rpn_cls_score")
+                                     name="rpn_cls_score", kernel_init=INIT01)
         self.rpn_bbox_pred = nn.Conv(4 * a, (1, 1), dtype=self.dtype,
-                                     name="rpn_bbox_pred")
+                                     name="rpn_bbox_pred", kernel_init=INIT01)
         g = 7
         self.rfcn_cls = nn.Conv(self.num_classes * g * g, (1, 1),
-                                dtype=self.dtype, name="rfcn_cls")
+                                dtype=self.dtype, name="rfcn_cls", kernel_init=INIT01)
         self.rfcn_bbox = nn.Conv(4 * self.num_reg_classes * g * g, (1, 1),
-                                 dtype=self.dtype, name="rfcn_bbox")
+                                 dtype=self.dtype, name="rfcn_bbox", kernel_init=INIT01)
 
     def rpn_fg_probs(self, cls_logits):
         a = self.num_anchors
