@@ -150,9 +150,35 @@ def eval_videos(model, variables, cfg, video_roidb, det_cache: str | None = None
         for reason, count in fallback_reasons.items():
             log(f"GOP-scan fallback -> per-frame path for {count} "
                 f"video(s): {reason}")
-        for rec in gop_recs:
-            from lsfa_tpu.data.loader import GOP_SIZE, PreparedVideo
+        # one-window deferred posting (the bench.py e2e_trial pattern):
+        # dispatch window g, THEN convert/collect window g-1 while g's
+        # transfer+compute are in flight — the decode of g+1 also overlaps
+        # because dispatch is async. Bounds in-flight work to 2 windows.
+        # Results are bitwise identical (posting only moves one window
+        # later); equivalence vs streaming is pinned by test_streaming.py.
+        pending = None   # (outs, win, real, vid_base)
 
+        def flush_pending():
+            nonlocal pending, frame_counter
+            if pending is None:
+                return
+            (kd, kv, cd, cv), pwin, preal, pbase = pending
+            with timer.phase("post"):
+                kd, kv = np.asarray(kd), np.asarray(kv)
+                cd, cv = np.asarray(cd), np.asarray(cv)
+                for wi in range(preal):
+                    g = pwin[wi]
+                    detections[pbase + g * GOP_SIZE] = \
+                        collect_detections(kd[wi], kv[wi])
+                    for i in range(cd.shape[1]):
+                        detections[pbase + g * GOP_SIZE + 1 + i] = \
+                            collect_detections(cd[wi, i], cv[wi, i])
+                    frame_counter += 1 + cd.shape[1]
+            pending = None
+
+        from lsfa_tpu.data.loader import GOP_SIZE, PreparedVideo
+
+        for rec in gop_recs:
             det.reset()
             pv = PreparedVideo(rec["video_path"], cfg, bucket)
             n_gops = min(rec["frame_seg_len"], pv.num_frames) // GOP_SIZE
@@ -167,19 +193,10 @@ def eval_videos(model, variables, cfg, video_roidb, det_cache: str | None = None
                 with timer.phase("data"):
                     payloads = [pv.gop(g) for g in win]
                 with timer.phase("net"):
-                    kd, kv, cd, cv = det.process_prepared_window(
+                    outs = det.process_prepared_window(
                         payloads, first=(g0 == 0))
-                with timer.phase("post"):
-                    kd, kv = np.asarray(kd), np.asarray(kv)
-                    cd, cv = np.asarray(cd), np.asarray(cv)
-                    for wi in range(real):
-                        g = win[wi]
-                        detections[vid_base + g * GOP_SIZE] = \
-                            collect_detections(kd[wi], kv[wi])
-                        for i in range(cd.shape[1]):
-                            detections[vid_base + g * GOP_SIZE + 1 + i] = \
-                                collect_detections(cd[wi, i], cv[wi, i])
-                        frame_counter += 1 + cd.shape[1]
+                flush_pending()
+                pending = (outs, win, real, vid_base)
                 timer.tick()
                 g0 += real
             # trailing partial GOP (if any) falls through to per-frame
@@ -192,6 +209,7 @@ def eval_videos(model, variables, cfg, video_roidb, det_cache: str | None = None
                 frame_recs.append(tail)
             if max_frames is not None and frame_counter >= max_frames:
                 break
+        flush_pending()
 
         if frame_recs and (max_frames is None
                            or frame_counter < max_frames):
