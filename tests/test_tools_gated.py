@@ -73,6 +73,32 @@ def test_report_mfu_tiny_smoke(tmp_path):
 
 
 @slow
+def test_eval_rung_cpu_smoke(tmp_path):
+    # train a tiny rung, then re-evaluate its checkpoint on a fresh
+    # val seed through tools/eval_rung.py (the extended-val path)
+    r = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "tools", "train_synth_full.py"),
+         "--cpu-smoke", "--steps", "8", "--videos", "2", "--val-videos",
+         "1", "--frames", "24", "--out", str(tmp_path / "run"),
+         "--data", str(tmp_path / "data"), "--log-every", "4",
+         "--rung", "mv_only"],
+        capture_output=True, text=True, timeout=1800, cwd=ROOT)
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "tools", "eval_rung.py"),
+         "--cpu-smoke", "--rung", "mv_only",
+         "--ckpt", str(tmp_path / "run" / "checkpoints"),
+         "--data", str(tmp_path / "data"), "--val-videos", "2",
+         "--val-seed", "7", "--frames", "24",
+         "--out", str(tmp_path / "xval")],
+        capture_output=True, text=True, timeout=1800, cwd=ROOT)
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.load(open(tmp_path / "xval" / "report_mv_only_xval.json"))
+    assert rep["eval_frames"] == 48 and rep["val_seed"] == 7
+    assert 0.0 <= rep["mAP_synth_val"] <= 1.0
+
+
+@slow
 def test_pretrain_flow_cpu_smoke(tmp_path):
     r = subprocess.run(
         [sys.executable, os.path.join(ROOT, "tools", "pretrain_flow.py"),

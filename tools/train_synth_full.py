@@ -30,6 +30,46 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
+def rung_cfg(rung: str, cpu_smoke: bool = False):
+    """Config + bucket sizes for one ablation rung (shared with
+    tools/eval_rung.py so re-evaluation reconstructs the exact training
+    graph). Rung module switches, reference map:
+      mv_only: key = fresh backbone, non-key = pure MV warp (the DFF-only
+               batch graph, resnet_v1_101_flownet_rfcn.py:661-751)
+      rnet:    + residual-correction branch (:57-67)
+      small:   + small-image detail net (:209-275)
+      full:    + FlowNet/Nq long-term key aggregation (flagship, :94-109)
+      rfcn:    single-frame baseline (full backbone every frame, DCN kept
+               on so the delta isolates aggregation)"""
+    from lsfa_tpu.config import load_config
+
+    if cpu_smoke:
+        cfg = load_config("configs/rfcn_tiny_smoke.yaml"
+                          if rung == "rfcn"
+                          else "configs/lsfa_tiny_smoke.yaml")
+        sizes = ((128, 96), (96, 128))
+        cfg.TRAIN.RPN_PRE_NMS_TOP_N = 256
+        cfg.TRAIN.RPN_POST_NMS_TOP_N = 64
+        cfg.TRAIN.BATCH_ROIS_OHEM = 32
+    elif rung == "rfcn":
+        cfg = load_config("configs/rfcn_resnet101_vid.yaml")
+        # the ladder isolates AGGREGATION: give the single-frame baseline
+        # the same DCN backbone the LSFA rungs use
+        cfg.network.add_dcn = True
+        sizes = ((960, 576), (576, 960))
+    else:
+        cfg = load_config("configs/lsfa_resnet101_vid.yaml")
+        sizes = ((960, 576), (576, 960))
+    if rung in ("mv_only", "rnet", "small"):
+        cfg.network.add_lt_aggregation = False
+        cfg.network.add_Nq_net = False
+        if rung in ("mv_only", "rnet"):
+            cfg.network.add_small_net = False
+        if rung == "mv_only":
+            cfg.network.add_rnet = False
+    return cfg, sizes
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=2500)
@@ -76,7 +116,6 @@ def main():
     if args.cpu_smoke:
         jax.config.update("jax_platforms", "cpu")
 
-    from lsfa_tpu.config import load_config
     from lsfa_tpu.data.dataset import append_flipped, filter_roidb
     from lsfa_tpu.data.synth import make_synth_vid_dataset
     from lsfa_tpu.eval.driver import eval_videos
@@ -86,36 +125,7 @@ def main():
 
     os.makedirs(args.out, exist_ok=True)
 
-    if args.cpu_smoke:
-        cfg = load_config("configs/rfcn_tiny_smoke.yaml"
-                          if args.rung == "rfcn"
-                          else "configs/lsfa_tiny_smoke.yaml")
-        sizes = ((128, 96), (96, 128))
-        cfg.TRAIN.RPN_PRE_NMS_TOP_N = 256
-        cfg.TRAIN.RPN_POST_NMS_TOP_N = 64
-        cfg.TRAIN.BATCH_ROIS_OHEM = 32
-    elif args.rung == "rfcn":
-        cfg = load_config("configs/rfcn_resnet101_vid.yaml")
-        # the ladder isolates AGGREGATION: give the single-frame baseline
-        # the same DCN backbone the LSFA rungs use
-        cfg.network.add_dcn = True
-        sizes = ((960, 576), (576, 960))
-    else:
-        cfg = load_config("configs/lsfa_resnet101_vid.yaml")
-        sizes = ((960, 576), (576, 960))
-    # ablation-rung module switches (models/lsfa.py gated setup; the
-    # reference graph with everything on is rung "full"):
-    #   mv_only: key = fresh backbone, non-key = pure MV warp (DFF-style)
-    #   rnet:    + residual-correction branch on non-key frames
-    #   small:   + small-image detail net
-    #   full:    + FlowNet/Nq long-term key aggregation (flagship)
-    if args.rung in ("mv_only", "rnet", "small"):
-        cfg.network.add_lt_aggregation = False
-        cfg.network.add_Nq_net = False
-        if args.rung in ("mv_only", "rnet"):
-            cfg.network.add_small_net = False
-        if args.rung == "mv_only":
-            cfg.network.add_rnet = False
+    cfg, sizes = rung_cfg(args.rung, cpu_smoke=args.cpu_smoke)
     if args.init_from:
         cfg.network.pretrained_detector = args.init_from
     if args.init_flow:
