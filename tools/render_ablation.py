@@ -31,7 +31,7 @@ def main():
     ap.add_argument("--dir", default="runs/ablation_r04")
     args = ap.parse_args()
 
-    reports, scratch = {}, {}
+    reports, scratch, xval = {}, {}, {}
     for rung, _ in LADDER:
         p = os.path.join(args.dir, f"report_{rung}.json")
         if os.path.exists(p):
@@ -39,6 +39,9 @@ def main():
         p = os.path.join(args.dir, f"report_{rung}_scratch.json")
         if os.path.exists(p):
             scratch[rung] = json.load(open(p))
+        p = os.path.join(args.dir, f"report_{rung}_xval.json")
+        if os.path.exists(p):
+            xval[rung] = json.load(open(p))
 
     lines = [
         "# LSFA module-ablation ladder (synthetic VID, hard profile)",
@@ -61,27 +64,35 @@ def main():
         " self-supervised pretrain (tools/pretrain_flow.py) — the in-env"
         " stand-in for the reference's FlyingChairs FlowNet .params.",
         "",
-        "| rung | modules | mAP (two-stage) | delta vs prev rung |"
-        " mAP (joint from scratch) | steps/s | eval frames |",
+        "| rung | modules | mAP (in-run val, 216f) | mAP (extended val,"
+        " fresh seed) | delta vs prev rung | mAP (joint from scratch) |"
+        " steps/s |",
         "|---|---|---|---|---|---|---|",
     ]
+    # deltas chain on the extended-val column when it exists for both
+    # rungs (4x the frames, fresh generator seed), else on in-run val
     prev = None
+    use_x = all(r in xval for r in reports)
     for rung, desc in LADDER:
         r = reports.get(rung)
         s = scratch.get(rung)
+        x = xval.get(rung)
         s_map = f"{s['mAP_synth_val']:.4f}" if s else ""
+        x_map = f"{x['mAP_synth_val']:.4f}" if x else ""
         if r is None:
-            lines.append(f"| {rung} | {desc} | _pending_ | | {s_map} | | |")
+            lines.append(
+                f"| {rung} | {desc} | _pending_ | {x_map} | | {s_map} | |")
             continue
         m = r["mAP_synth_val"]
-        delta = "" if prev is None else f"{m - prev:+.4f}"
+        cur = (x["mAP_synth_val"] if (use_x and x) else m)
+        delta = "" if prev is None else f"{cur - prev:+.4f}"
         # the rfcn -> mv_only step is a speed/accuracy trade, not a module
         # addition; deltas only chain within the LSFA rungs
         if rung == "mv_only":
             delta = "(baseline for module deltas)"
-        lines.append(f"| {rung} | {desc} | {m:.4f} | {delta} | {s_map} | "
-                     f"{r['steps_per_s']:.2f} | {r['eval_frames']} |")
-        prev = m
+        lines.append(f"| {rung} | {desc} | {m:.4f} | {x_map} | {delta} | "
+                     f"{s_map} | {r['steps_per_s']:.2f} |")
+        prev = cur
     lines += [
         "",
         "The from-scratch column is the recorded negative result: with"
@@ -92,6 +103,12 @@ def main():
         " curves_*_scratch.jsonl) and the ladder inverts. Pretraining is"
         " load-bearing in the reference recipe, and the rebuild"
         " reproduces that.",
+        "",
+        "The extended-val column re-scores each trained checkpoint on a"
+        " 24-video / 864-frame val set generated under a DIFFERENT seed"
+        " (tools/eval_rung.py) — 4x the frames and fresh data, so ~0.01"
+        " rung deltas aren't sampling noise from the 216-frame in-run"
+        " split. Rung deltas chain on this column when it is complete.",
         "",
         "Per-class AP spread (hard profile de-saturates the easy"
         " benchmark's 1.0 rows):",
