@@ -24,14 +24,17 @@ from lsfa_tpu.models.lsfa import LSFA
 # are deterministic. The asserts below leave ~1% headroom so an XLA or
 # environment bump doesn't fail the tripwire spuriously.)
 GOLDEN = {
-    "feat_mean": 6.470019246051827,
-    "feat_std": 9.26024534756442,
-    "feat_sample": [7.937496662139893, 0.0008441585232503712,
-                    10.67866325378418, 0.002928188070654869,
-                    9.025355339050293],
-    "rpnfg_mean": 0.45718076825141907,
-    "cls_mean": 0.4167891187273793,
-    "cls_std": 12.497192888216496,
+    # regenerated after the reference-parity Normal(0, 0.01) head init
+    # (init_weight parity, resnet_v1_101_flownet_rfcn.py:753-870): fresh
+    # heads now emit O(0.01)-weight activations, so every statistic moved
+    "feat_mean": 2.47590958461141,
+    "feat_std": 3.466424235516246,
+    "feat_sample": [2.364868402481079, 0.10951664298772812,
+                    3.090184211730957, 0.37988755106925964,
+                    2.315331220626831],
+    "rpnfg_mean": 0.49470144510269165,
+    "cls_mean": 0.009386509435719491,
+    "cls_std": 0.2681733520010633,
 }
 
 
@@ -72,5 +75,8 @@ def test_forward_key_matches_golden():
     np.testing.assert_allclose(np.asarray(out["rpn_fg"]).mean(),
                                GOLDEN["rpnfg_mean"], rtol=8e-3)
     c = np.asarray(out["rfcn_cls_map"], np.float64)
-    np.testing.assert_allclose(c.mean(), GOLDEN["cls_mean"], rtol=2e-2)
+    # cls_mean is now a near-zero statistic (N(0,0.01) head weights), so a
+    # pure rtol would be brittle; anchor the tolerance to cls_std instead
+    np.testing.assert_allclose(c.mean(), GOLDEN["cls_mean"], rtol=2e-2,
+                               atol=2e-2 * GOLDEN["cls_std"])
     np.testing.assert_allclose(c.std(), GOLDEN["cls_std"], rtol=8e-3)
