@@ -115,10 +115,15 @@ def _frame_bases(video_roidb):
 
 
 def eval_videos(model, variables, cfg, video_roidb, det_cache: str | None = None,
-                logger=None, max_frames: int | None = None):
+                logger=None, max_frames: int | None = None,
+                lt_off: bool = False):
     """Run streaming detection over videos (bucketed by orientation).
     Returns {global_frame_idx -> {labels, scores, boxes}} detections,
-    indexed in the original video_roidb frame order."""
+    indexed in the original video_roidb frame order.
+
+    lt_off=True disables the long-term aggregation stage at inference
+    (every key frame bootstraps — see StreamingDetector.lt_off): an
+    eval-time module A/B on identical weights."""
     log = logger.info if logger else print
     cached = _load_det_cache(det_cache, log)
     if cached is not None:
@@ -132,8 +137,9 @@ def eval_videos(model, variables, cfg, video_roidb, det_cache: str | None = None
     detections = {}
     groups = group_videos_by_bucket(video_roidb, cfg)
     for bucket, recs in groups.items():
-        log(f"bucket {bucket}: {len(recs)} videos")
-        det = StreamingDetector(model, variables, cfg, bucket)
+        log(f"bucket {bucket}: {len(recs)} videos"
+            + (" [long-term aggregation OFF]" if lt_off else ""))
+        det = StreamingDetector(model, variables, cfg, bucket, lt_off=lt_off)
         frame_counter = 0
         # ---- GOP-scan fast path: whole GOP windows per dispatch ----
         # ~6x the per-frame mode on dispatch-latency-bound runtimes;

@@ -40,11 +40,19 @@ class StreamingDetector:
     (lanes never interact)."""
 
     def __init__(self, model, variables, cfg, image_hw, batch: int = 1,
-                 mesh=None):
+                 mesh=None, lt_off: bool = False):
         self.model = model
         self.cfg = cfg
         self.batch = batch
         self.mesh = mesh
+        # lt_off: eval-time ablation of the LONG-TERM aggregation stage —
+        # every key frame takes the bootstrap select (is_first=1, the
+        # ChooseOldKeyFeat dummy-feature branch,
+        # choose_old_key_feat.py:23-32), so the fresh backbone feature is
+        # used verbatim and the FlowNet-warp + Nq fusion of the cached key
+        # feature contributes nothing. Same weights, same programs: an
+        # exact A/B of what long-term aggregation buys at inference.
+        self.lt_off = lt_off
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             self._lane_sh = NamedSharding(mesh, P("data"))
@@ -238,7 +246,8 @@ class StreamingDetector:
                 np.asarray(res_diffs)[None], im_info, first=first)
             return kd[0], kv[0], cd[0], cv[0]
         im_info = jnp.asarray(im_info)
-        is_first = jnp.full((self.batch,), 1.0 if first else 0.0)
+        is_first = jnp.full((self.batch,),
+                            1.0 if (first or self.lt_off) else 0.0)
         feat, prep, kd, kv, cd, cv = self._gop_step(
             self.variables, jnp.asarray(key_frame), self.data_key,
             self.feat_key, is_first, jnp.asarray(smalls),
@@ -259,9 +268,12 @@ class StreamingDetector:
         cur_valids) — bitwise the same as G sequential process_gop calls."""
         g = key_frames.shape[0]
         im_info = jnp.asarray(im_info)
-        is_firsts = jnp.zeros((g, self.batch), jnp.float32)
-        if first:
-            is_firsts = is_firsts.at[0].set(1.0)
+        if self.lt_off:
+            is_firsts = jnp.ones((g, self.batch), jnp.float32)
+        else:
+            is_firsts = jnp.zeros((g, self.batch), jnp.float32)
+            if first:
+                is_firsts = is_firsts.at[0].set(1.0)
         feat, prep, outs = self._scan_gops_step(
             self.variables, self.feat_key, self.data_key,
             jnp.asarray(key_frames), is_firsts, jnp.asarray(smalls),
@@ -311,7 +323,8 @@ class StreamingDetector:
         im_info = self._lane_put(im_info)
         if flag in (0, 1):
             if is_first is None:
-                is_first = jnp.full((self.batch,), 1.0 if flag == 0 else 0.0)
+                boot = flag == 0 or self.lt_off
+                is_first = jnp.full((self.batch,), 1.0 if boot else 0.0)
             else:
                 is_first = jnp.asarray(is_first, jnp.float32)
             feat, prep, dets, valid = self._key_step(

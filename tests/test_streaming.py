@@ -123,6 +123,50 @@ def test_multi_gop_scan_equals_sequential(detector):
                                       np.asarray(seq[i][3]))
 
 
+def test_lt_off_equals_reset_per_gop(detector):
+    """lt_off=True (the eval-time long-term-aggregation ablation) must
+    equal resetting the detector before every GOP: each key frame takes
+    the bootstrap select, so the cached key feature contributes nothing.
+    Exercises both the scan route and per-frame flag-1 dispatch."""
+    base = detector
+    rng = np.random.default_rng(23)
+    im_info = np.asarray([[H * 1.0, W * 1.0, 1.0]], np.float32)
+    g, n, s = 3, 2, 4
+    keys = rng.normal(0, 40, (g, 1, H, W, 3)).astype(np.float32)
+    frames = rng.normal(0, 40, (g, n, H, W, 3)).astype(np.float32)
+    smalls = frames.reshape(g, n, H // s, s, W // s, s, 3).mean((3, 5))
+    mvs = rng.normal(0, 0.5, (g, n, H // 16, W // 16, 2)).astype(np.float32)
+    ress = rng.normal(0, 5, (g, n, H // 16, W // 16, 3)).astype(np.float32)
+
+    # oracle: fresh stream per GOP (first=True -> bootstrap select)
+    oracle = []
+    for i in range(g):
+        base.reset()
+        oracle.append(base.process_gop(keys[i], smalls[i], mvs[i], ress[i],
+                                       im_info, first=True))
+
+    det = StreamingDetector(base.model, base.variables, base.cfg, (H, W),
+                            lt_off=True)
+    kd, kv, cd, cv = det.process_gops(keys, smalls, mvs, ress, im_info,
+                                      first=True)
+    for i in range(g):
+        np.testing.assert_allclose(np.asarray(kd)[i],
+                                   np.asarray(oracle[i][0]),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(cd)[i],
+                                   np.asarray(oracle[i][2]),
+                                   rtol=1e-4, atol=1e-4)
+
+    # per-frame route: a flag-1 key frame under lt_off matches flag 0
+    det.reset()
+    d1, v1 = det.process_frame(keys[1], im_info, flag=1)
+    base.reset()
+    d0, v0 = base.process_frame(keys[1], im_info, flag=0)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d0),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v0))
+
+
 def test_lane_sharded_equals_local(detector):
     """8 lanes sharded over the 8-device mesh must produce the same
     detections as 8 local (single-device) lanes — inference DP over the

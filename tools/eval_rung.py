@@ -49,11 +49,22 @@ def main():
     ap.add_argument("--profile", default="hard", choices=["easy", "hard"])
     ap.add_argument("--out", default="runs/ablation_r04",
                     help="directory for report_<rung>_xval.json")
-    ap.add_argument("--tag", default="xval")
+    ap.add_argument("--tag", default=None,
+                    help="report filename tag (default xval, or "
+                         "xval_ltoff with --lt-off)")
+    ap.add_argument("--lt-off", action="store_true",
+                    help="disable the long-term aggregation stage at "
+                         "inference (every key frame bootstraps): same "
+                         "weights, exact eval-time A/B of what the "
+                         "FlowNet/Nq long-term stage buys")
     ap.add_argument("--max-eval-frames", type=int, default=None)
     ap.add_argument("--cpu-smoke", action="store_true",
                     help="tiny net on CPU (CI smoke of this tool)")
     args = ap.parse_args()
+    if args.tag is None:
+        args.tag = "xval_ltoff" if args.lt_off else "xval"
+    if args.lt_off and args.rung == "rfcn":
+        ap.error("--lt-off is meaningless for the single-frame rfcn rung")
 
     import jax
 
@@ -95,7 +106,8 @@ def main():
     else:
         from lsfa_tpu.eval.driver import eval_videos
         dets = eval_videos(model, variables, cfg, val_roidb, logger=logger,
-                           max_frames=args.max_eval_frames)
+                           max_frames=args.max_eval_frames,
+                           lt_off=args.lt_off)
     eval_wall = time.perf_counter() - t_eval
 
     n_cls = cfg.dataset.NUM_CLASSES
@@ -118,6 +130,7 @@ def main():
         "ckpt_epoch": int(epoch),
         "val_videos": args.val_videos,
         "val_seed": args.val_seed,
+        "lt_off": bool(args.lt_off),
         "eval_wall_s": round(eval_wall, 1),
         "eval_frames": len(dets),
         "n_detections": n_det,
