@@ -111,17 +111,32 @@ def main():
     eval_wall = time.perf_counter() - t_eval
 
     n_cls = cfg.dataset.NUM_CLASSES
-    ap_all = vid_eval(dets, val_annos, n_cls)
     gt_classes = sorted({int(l) for a in val_annos.values()
                          for l in a["labels"]})
+
+    def subset_map(frame_filter):
+        sub_d = {g: d for g, d in dets.items() if frame_filter(g)}
+        sub_a = {g: a for g, a in val_annos.items() if frame_filter(g)}
+        ap = vid_eval(sub_d, sub_a, n_cls)
+        vals = np.asarray([ap[c - 1] if np.isfinite(ap[c - 1]) else 0.0
+                           for c in gt_classes])
+        return (float(vals.mean()) if len(vals) else float("nan")), vals
+
+    mean_ap, ap_gt = subset_map(lambda g: True)
+    # key/non-key split: every video is args.frames long, key frames sit
+    # at frame_id % KEY_FRAME_INTERVAL == 0 — the aggregation modules act
+    # on different frame populations (long-term: key; R-net/small-net:
+    # non-key), so the split localizes where a module buys or loses mAP
+    ki = cfg.TEST.KEY_FRAME_INTERVAL
+    map_key, _ = subset_map(lambda g: (g % args.frames) % ki == 0)
+    map_nonkey, _ = subset_map(lambda g: (g % args.frames) % ki != 0)
     n_det = sum(len(d["labels"]) for d in dets.values())
-    ap_gt = np.asarray([ap_all[c - 1] if np.isfinite(ap_all[c - 1]) else 0.0
-                        for c in gt_classes])
-    mean_ap = float(ap_gt.mean()) if len(ap_gt) else float("nan")
     for c, a in zip(gt_classes, ap_gt):
         logger.info(f"AP class {c} = {a:.4f}")
     logger.info(f"extended-val mAP@0.5 = {mean_ap:.4f} over "
-                f"{len(gt_classes)} gt classes ({n_det} detections)")
+                f"{len(gt_classes)} gt classes ({n_det} detections); "
+                f"key-frame mAP = {map_key:.4f}, non-key mAP = "
+                f"{map_nonkey:.4f}")
 
     report = {
         "rung": args.rung,
@@ -135,6 +150,8 @@ def main():
         "eval_frames": len(dets),
         "n_detections": n_det,
         "mAP_synth_val": round(mean_ap, 4),
+        "mAP_key_frames": round(map_key, 4),
+        "mAP_nonkey_frames": round(map_nonkey, 4),
         "ap_per_class": {int(c): round(float(a), 4)
                          for c, a in zip(gt_classes, ap_gt)},
         "platform": str(jax.devices()[0].platform),
