@@ -42,6 +42,10 @@ def main():
         p = os.path.join(args.dir, f"report_{rung}_xval.json")
         if os.path.exists(p):
             xval[rung] = json.load(open(p))
+    ltoff = None
+    p = os.path.join(args.dir, "report_full_xval_ltoff.json")
+    if os.path.exists(p):
+        ltoff = json.load(open(p))
 
     lines = [
         "# LSFA module-ablation ladder (synthetic VID, hard profile)",
@@ -110,6 +114,45 @@ def main():
         " rung deltas aren't sampling noise from the 216-frame in-run"
         " split. Rung deltas chain on this column when it is complete.",
         "",
+    ]
+    if xval:
+        lines += [
+            "Key-frame vs non-key mAP on the extended val set — the"
+            " aggregation modules act on different frame populations"
+            " (long-term Nq: key frames; R-net/small-net: non-key), so"
+            " the split localizes where each rung buys or loses"
+            " accuracy:",
+            "",
+            "| rung | extended-val mAP | key-frame mAP | non-key mAP |",
+            "|---|---|---|---|",
+        ]
+        for rung, _ in LADDER:
+            x = xval.get(rung)
+            if x is None:
+                continue
+            lines.append(
+                f"| {rung} | {x['mAP_synth_val']:.4f} | "
+                f"{x.get('mAP_key_frames', float('nan')):.4f} | "
+                f"{x.get('mAP_nonkey_frames', float('nan')):.4f} |")
+        lines.append("")
+    if ltoff is not None and "full" in xval:
+        x = xval["full"]
+        d = x["mAP_synth_val"] - ltoff["mAP_synth_val"]
+        lines += [
+            "Long-term-aggregation inference A/B on the flagship's own"
+            " weights (tools/eval_rung.py --lt-off forces the bootstrap"
+            " select at every key frame, so the FlowNet-warp + Nq fusion"
+            " contributes nothing — the ChooseOldKeyFeat dummy branch,"
+            " reference choose_old_key_feat.py:23-32):"
+            f" lt ON {x['mAP_synth_val']:.4f}"
+            f" (key {x.get('mAP_key_frames', float('nan')):.4f}) vs"
+            f" lt OFF {ltoff['mAP_synth_val']:.4f}"
+            f" (key {ltoff.get('mAP_key_frames', float('nan')):.4f})"
+            f" — the long-term stage is worth {d:+.4f} mAP at identical"
+            " weights.",
+            "",
+        ]
+    lines += [
         "Per-class AP spread (hard profile de-saturates the easy"
         " benchmark's 1.0 rows):",
         "",
