@@ -405,18 +405,28 @@ def run_multistream(lanes: int) -> dict:
     im_info = np.tile(np.asarray([[600.0, 1000.0, 1.04]], np.float32),
                       (lanes, 1))
 
+    def stage():
+        # async H2D of a fresh window's payloads — the DevicePrefetcher
+        # role: staging rides the tunnel while the previous window computes
+        return jax.device_put((keys, smalls, mvs, ress, im_info))
+
     det.reset()
     jax.block_until_ready(det.process_gops(keys, smalls, mvs, ress, im_info,
                                            first=True)[2])
-    n_windows = 4
+    n_windows = 6
     trials = []
     for t in range(TRIALS):
         det.reset()
         t0 = time.perf_counter()
+        nxt = stage()
+        prev = None
         for i in range(n_windows):
-            out = det.process_gops(keys, smalls, mvs, ress, im_info,
-                                   first=(i == 0))
-            jax.block_until_ready(out[2])
+            cur, nxt = nxt, (stage() if i + 1 < n_windows else None)
+            out = det.process_gops(*cur, first=(i == 0))
+            if prev is not None:       # one window in flight
+                jax.block_until_ready(prev[2])
+            prev = out
+        jax.block_until_ready(prev[2])
         dt = time.perf_counter() - t0
         trials.append(n_windows * G * interval * lanes / dt)
         print(f"trial {t}: {trials[-1]:.1f} FPS aggregate ({lanes} lanes)",
@@ -427,8 +437,9 @@ def run_multistream(lanes: int) -> dict:
     return {
         "metric": "lsfa_multistream_device_fps",
         "value": round(fps, 2),
-        "unit": (f"frames/sec aggregate, {lanes} lockstep streams, device "
-                 f"loop only (608x1024, median of {TRIALS})"),
+        "unit": (f"frames/sec aggregate, {lanes} lockstep streams, "
+                 f"overlapped H2D staging + device loop (608x1024, "
+                 f"median of {TRIALS})"),
         "vs_baseline": round(fps / 30.0, 3),
     }
 
