@@ -74,9 +74,14 @@ def main():
         "|---|---|---|---|---|---|---|",
     ]
     # deltas chain on the extended-val column when it exists for both
-    # rungs (4x the frames, fresh generator seed), else on in-run val
-    prev = None
+    # rungs (4x the frames, fresh generator seed), else on in-run val —
+    # and NEVER across training batches: reports carry a `batch` tag
+    # (host recycles wiped /tmp checkpoints mid-round; wiped rungs were
+    # retrained on a fresh data seed, so cross-batch in-run deltas mix
+    # seed noise with module effect)
+    prev = prev_batch = None
     use_x = all(r in xval for r in reports)
+    batches = {r.get("batch") for r in reports.values()}
     for rung, desc in LADDER:
         r = reports.get(rung)
         s = scratch.get(rung)
@@ -89,14 +94,20 @@ def main():
             continue
         m = r["mAP_synth_val"]
         cur = (x["mAP_synth_val"] if (use_x and x) else m)
-        delta = "" if prev is None else f"{cur - prev:+.4f}"
+        batch = r.get("batch")
+        if prev is None:
+            delta = ""
+        elif batch != prev_batch:
+            delta = "(cross-batch — see note)"
+        else:
+            delta = f"{cur - prev:+.4f}"
         # the rfcn -> mv_only step is a speed/accuracy trade, not a module
         # addition; deltas only chain within the LSFA rungs
         if rung == "mv_only":
             delta = "(baseline for module deltas)"
         lines.append(f"| {rung} | {desc} | {m:.4f} | {x_map} | {delta} | "
                      f"{s_map} | {r['steps_per_s']:.2f} |")
-        prev = cur
+        prev, prev_batch = cur, batch
     lines += [
         "",
         "The from-scratch column is the recorded negative result: with"
@@ -115,6 +126,33 @@ def main():
         " split. Rung deltas chain on this column when it is complete.",
         "",
     ]
+    if len(batches) > 1:
+        lines += [
+            "**Training-batch provenance.** The environment recycles the"
+            " host between sessions, wiping /tmp checkpoints and the"
+            " generated dataset; wiped rungs are retrained on a fresh"
+            " generator seed and tagged with a `batch` field in their"
+            " report JSON (current batches: "
+            + ", ".join(sorted(b for b in batches if b)) + ")."
+            " Deltas are only chained within one batch. The complete"
+            " single-batch ladder (all five rungs, one dataset, one"
+            " host — git 9373cae) read rfcn 0.6436 / mv_only 0.5065 /"
+            " rnet 0.5081 / small 0.5167 / full 0.5067, and stays the"
+            " delta chain of record. The retrained batch replicates its"
+            " ordering (rfcn 0.6510 > mv_only 0.5311) and bounds"
+            " seed-to-seed noise: mv_only moved +0.025 across retrains —"
+            " LARGER than any single module delta in the original chain"
+            " (+0.002/+0.009/-0.010). Honest read: on this benchmark the"
+            " decisive effects are (1) warm-start vs from-scratch"
+            " (~+0.05..+0.20 per rung) and (2) single-frame R-FCN >"
+            " every warped rung (~0.65 vs ~0.51); the R-net/small-net/Nq"
+            " module deltas are within seed noise at this training"
+            " budget — the modules' measurable value here is speed"
+            " (key-frame backbone amortization), matching the DFF-family"
+            " premise, while their accuracy claims need the real"
+            " ILSVRC2015 scale to resolve.",
+            "",
+        ]
     if xval:
         lines += [
             "Key-frame vs non-key mAP on the extended val set — the"
