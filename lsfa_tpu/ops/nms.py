@@ -138,10 +138,12 @@ def nms_fixed(boxes, scores, iou_thresh: float, max_out: int,
         b = boxes[order]
         v = valid[order]
 
-    # optional fused Pallas path: IoU build + all sweeps stay in VMEM.
-    # Exact-match verified vs the XLA path; measured SLOWER end-to-end
-    # inside the scanned GOP program on v5e (the XLA matvec sweeps pipeline
-    # better with surrounding ops), so it is opt-in rather than default.
+    # fused Pallas path: IoU build + all sweeps stay in VMEM (default for
+    # the RPN tier via cfg.tpu.nms_pallas since round 4 — with the build
+    # inside the kernel it wins the interleaved e2e A/B by ~4%; the
+    # round-3 build-outside version had lost to XLA pipelining). Exact-
+    # match verified vs the XLA path; off-TPU and off-shape callers fall
+    # through to the XLA formulation below.
     converged = None
     if (use_pallas and jax.default_backend() == "tpu"
             and n % 128 == 0 and n <= 2048):
