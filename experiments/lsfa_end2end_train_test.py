@@ -10,6 +10,10 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from lsfa_tpu.utils.env import setup_cache
+
+setup_cache()  # honor JAX_PLATFORMS + persistent compile cache (utils/env.py)
+
 
 def main():
     ap = argparse.ArgumentParser(description="LSFA-TPU end-to-end train+test")

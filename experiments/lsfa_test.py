@@ -11,6 +11,10 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from lsfa_tpu.utils.env import setup_cache
+
+setup_cache()  # honor JAX_PLATFORMS + persistent compile cache (utils/env.py)
+
 
 def resolve_train_ckpt_dir(cfg, out_dir: str) -> str | None:
     """Default checkpoint tree for this config: the TRAIN run's directory

@@ -145,11 +145,16 @@ def nms_fixed(boxes, scores, iou_thresh: float, max_out: int,
     # match verified vs the XLA path; off-TPU and off-shape callers fall
     # through to the XLA formulation below.
     converged = None
-    if (use_pallas and jax.default_backend() == "tpu"
-            and n % 128 == 0 and n <= 2048):
+    if use_pallas and n % 128 == 0 and n <= 2048:
         from lsfa_tpu.ops.pallas_nms import greedy_alive_pallas
 
-        alive = greedy_alive_pallas(b, v, iou_thresh, max_iters)
+        # lowering-time platform gate (advisor r4): a caller explicitly
+        # compiling for CPU while the process default backend is TPU gets
+        # the XLA formulation, not a mis-lowered Pallas kernel — the
+        # branch is chosen per lowering platform, not at trace time.
+        alive = jax.lax.platform_dependent(
+            tpu=lambda: greedy_alive_pallas(b, v, iou_thresh, max_iters),
+            default=lambda: _greedy_alive(b, v, iou_thresh, max_iters))
         if return_converged:
             # one XLA sweep over the pallas result certifies the fixpoint
             alive, converged = _greedy_alive(b, v, iou_thresh, 0,

@@ -19,8 +19,14 @@ CFG = os.path.join(ROOT, "configs", "lsfa_tiny_smoke.yaml")
 
 
 def _run(args, timeout=1500):
-    env = dict(os.environ, JAX_PLATFORMS="cpu",
-               JAX_COMPILATION_CACHE_DIR="/tmp/jax_cache")
+    # JAX_PLATFORMS=cpu is honored because the launchers call
+    # setup_cache() (utils/env.py) before any jax import — without it the
+    # TPU plugin force-registers over the env var and can hang ~20 min in
+    # backend-init retries while the pytest parent holds the device
+    # tunnel. No cache-dir override: the subprocess uses the same
+    # host-keyed persistent cache as the rest of the suite, so these
+    # smokes reuse pre-warmed compilations instead of cold-compiling.
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
     return subprocess.run([sys.executable] + args, capture_output=True,
                           text=True, timeout=timeout, cwd=ROOT, env=env)
 

@@ -46,6 +46,13 @@ def main():
     p = os.path.join(args.dir, "report_full_xval_ltoff.json")
     if os.path.exists(p):
         ltoff = json.load(open(p))
+    # pinned single-batch chain of record (written once when a complete
+    # one-batch ladder exists; survives later per-rung retrains that
+    # overwrite report_<rung>.json under a new batch tag)
+    record = None
+    p = os.path.join(args.dir, "chain_of_record.json")
+    if os.path.exists(p):
+        record = json.load(open(p))
 
     lines = [
         "# LSFA module-ablation ladder (synthetic VID, hard profile)",
@@ -90,7 +97,11 @@ def main():
         x_map = f"{x['mAP_synth_val']:.4f}" if x else ""
         if r is None:
             lines.append(
-                f"| {rung} | {desc} | _pending_ | {x_map} | | {s_map} | |")
+                f"| {rung} | {desc} | _pending_ | {x_map} | (chain broken"
+                f" — missing rung) | {s_map} | |")
+            # don't let the next present rung's delta silently chain
+            # across the gap (advisor r4)
+            prev = prev_batch = None
             continue
         m = r["mAP_synth_val"]
         cur = (x["mAP_synth_val"] if (use_x and x) else m)
@@ -127,32 +138,54 @@ def main():
         "",
     ]
     if len(batches) > 1:
-        lines += [
+        para = [
             "**Training-batch provenance.** The environment recycles the"
             " host between sessions, wiping /tmp checkpoints and the"
             " generated dataset; wiped rungs are retrained on a fresh"
             " generator seed and tagged with a `batch` field in their"
             " report JSON (current batches: "
             + ", ".join(sorted(b for b in batches if b)) + ")."
-            " Deltas are only chained within one batch. The complete"
-            " single-batch ladder (all five rungs, one dataset, one"
-            " host — git 9373cae) read rfcn 0.6436 / mv_only 0.5065 /"
-            " rnet 0.5081 / small 0.5167 / full 0.5067, and stays the"
-            " delta chain of record. The retrained batch replicates its"
-            " ordering (rfcn 0.6510 > mv_only 0.5311) and bounds"
-            " seed-to-seed noise: mv_only moved +0.025 across retrains —"
-            " LARGER than any single module delta in the original chain"
-            " (+0.002/+0.009/-0.010). Honest read: on this benchmark the"
-            " decisive effects are (1) warm-start vs from-scratch"
-            " (~+0.05..+0.20 per rung) and (2) single-frame R-FCN >"
-            " every warped rung (~0.65 vs ~0.51); the R-net/small-net/Nq"
-            " module deltas are within seed noise at this training"
-            " budget — the modules' measurable value here is speed"
-            " (key-frame backbone amortization), matching the DFF-family"
-            " premise, while their accuracy claims need the real"
-            " ILSVRC2015 scale to resolve.",
-            "",
-        ]
+            " Deltas are only chained within one batch."]
+        # everything numeric below is computed from chain_of_record.json
+        # + the loaded reports (advisor r4: no inlined literals)
+        if record:
+            rm = record["mAP_synth_val"]
+            chain = " / ".join(f"{r} {rm[r]:.4f}" for r, _ in LADDER
+                               if r in rm)
+            para.append(
+                f" The complete single-batch ladder (all five rungs, one"
+                f" dataset, one host — git {record['git']}, batch"
+                f" {record['batch']}) read {chain}, and stays the delta"
+                f" chain of record")
+            mod_rungs = [r for r, _ in LADDER
+                         if r not in ("rfcn", "mv_only") and r in rm]
+            if "mv_only" in rm and mod_rungs:
+                prev_m, mods = rm["mv_only"], []
+                for r in mod_rungs:
+                    mods.append(f"{rm[r] - prev_m:+.4f}")
+                    prev_m = rm[r]
+                para.append(
+                    f" (module deltas {'/'.join(mods)})")
+            para.append(".")
+            moves = {r: reports[r]["mAP_synth_val"] - rm[r]
+                     for r in rm if r in reports
+                     and reports[r].get("batch") != record["batch"]}
+            if moves:
+                mv = ", ".join(
+                    f"{r} {reports[r]['mAP_synth_val']:.4f}"
+                    f" ({d:+.4f} vs record)" for r, d in moves.items())
+                para.append(
+                    f" The retrained batch bounds seed-to-seed noise:"
+                    f" {mv} — retrain moves of this size cap how much"
+                    f" meaning any same-magnitude module delta can"
+                    f" carry.")
+        para.append(
+            " Honest read: on this benchmark the decisive effects are"
+            " (1) warm-start vs from-scratch and (2) single-frame R-FCN"
+            " above every warped rung; module deltas within the"
+            " seed-noise bound above are not evidence either way at this"
+            " training budget.")
+        lines += ["".join(para), ""]
     if xval:
         lines += [
             "Key-frame vs non-key mAP on the extended val set — the"
