@@ -130,6 +130,15 @@ def main():
     ki = cfg.TEST.KEY_FRAME_INTERVAL
     map_key, _ = subset_map(lambda g: (g % args.frames) % ki == 0)
     map_nonkey, _ = subset_map(lambda g: (g % args.frames) % ki != 0)
+    # offset-resolved decay curve: mAP as a function of frames-from-key
+    # (0..ki-1). If warped-feature mAP COLLAPSES with offset, propagation
+    # leaks; if it is flat-but-low, the warped training (not the warp
+    # itself) is the bound. Each bin has eval_frames/ki frames, so single
+    # bins are noisy — read the trend, not a bin. (VERDICT r4 item 1a.)
+    map_by_offset = [
+        round(subset_map(
+            lambda g, o=off: (g % args.frames) % ki == o)[0], 4)
+        for off in range(ki)]
     n_det = sum(len(d["labels"]) for d in dets.values())
     for c, a in zip(gt_classes, ap_gt):
         logger.info(f"AP class {c} = {a:.4f}")
@@ -137,6 +146,8 @@ def main():
                 f"{len(gt_classes)} gt classes ({n_det} detections); "
                 f"key-frame mAP = {map_key:.4f}, non-key mAP = "
                 f"{map_nonkey:.4f}")
+    logger.info("mAP by frames-from-key: "
+                + " ".join(f"{m:.3f}" for m in map_by_offset))
 
     report = {
         "rung": args.rung,
@@ -152,6 +163,7 @@ def main():
         "mAP_synth_val": round(mean_ap, 4),
         "mAP_key_frames": round(map_key, 4),
         "mAP_nonkey_frames": round(map_nonkey, 4),
+        "mAP_by_offset": map_by_offset,
         "ap_per_class": {int(c): round(float(a), 4)
                          for c, a in zip(gt_classes, ap_gt)},
         "platform": str(jax.devices()[0].platform),

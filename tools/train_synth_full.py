@@ -86,6 +86,10 @@ def main():
                          "params/opt state incl. the LR-schedule step)")
     ap.add_argument("--tag", default="", help="suffix for report/curves "
                                               "filenames")
+    ap.add_argument("--batch-tag", default="",
+                    help="training-batch provenance tag written into the "
+                         "report (render_ablation chains deltas only "
+                         "within one batch)")
     ap.add_argument("--init-from", default="",
                     help="orbax checkpoint dir of a trained detector (the "
                          "rfcn rung's) to warm-start the shared detection "
@@ -246,6 +250,8 @@ def main():
                          for c, a in zip(gt_classes, ap_gt)},
         "platform": str(jax.devices()[0].platform),
     }
+    if args.batch_tag:
+        report["batch"] = args.batch_tag
     with open(os.path.join(args.out, f"report{args.tag}.json"), "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps(report))
