@@ -108,6 +108,16 @@ def load_pair_sample(rec, cfg, rng: np.random.Generator, bucket_hw=None):
                                          "res_diff_legacy_swap", False)))
         elif cur_id - pos == 0:                # first GOP: old ref == ref
             eq_flag_old = 1.0
+        if (eq_flag == 0.0 and "oracle" in rec
+                and getattr(cfg.network, "oracle_mv", False)):
+            # oracle-warp rung: the generator's analytic GT flow replaces
+            # the decoded MV grid (same shape/units — data/oracle_flow.py)
+            from lsfa_tpu.data.oracle_flow import oracle_mv_grid
+            mv_t = oracle_mv_grid(
+                rec["oracle"], cur_id, cur_id - pos, mv_t.shape[0],
+                mv_t.shape[1], float(info[2]),
+                cfg.network.RCNN_FEAT_STRIDE, (im_h, im_w),
+                flip=bool(rec.get("flipped")))
         im_scale = float(info[2])
         # roidb boxes are already stored flipped (append_flipped)
         boxes = rec["boxes"] * im_scale
@@ -347,18 +357,22 @@ class PreparedVideo:
 
     def __init__(self, video_path: str, cfg, bucket_hw,
                  frames_mode: int | None = None,
-                 wire_fmt: str | None = None):
+                 wire_fmt: str | None = None, oracle=None):
         """frames_mode: override the full-res policy — 0 ships every
         frame full-res (required by single-frame detectors like the RFCN
         baseline), 1 key frames only; None picks by the key schedule.
         wire_fmt: override cfg.tpu.frame_payload (loaders that must keep
-        one wire format across heterogeneous videos/lanes pass 'bgr8')."""
+        one wire format across heterogeneous videos/lanes pass 'bgr8').
+        oracle: analytic motion state (rec["oracle"]) — decoded MV grids
+        are replaced by the generator's GT flow (oracle-warp rung,
+        data/oracle_flow.py)."""
         self.reader = coviar.VideoReader(video_path)
         self.cfg = cfg
         self.bucket_hw = tuple(bucket_hw)
         self.num_frames = self.reader.num_frames
         self.frames_mode = frames_mode
         self.wire_fmt = wire_fmt
+        self.oracle = oracle
         self._gop = -1
         self._cache = None
 
@@ -404,6 +418,14 @@ class PreparedVideo:
                                          "res_diff_legacy_swap", False)),
                 frames_mode=mode, payload_fmt=fmt, small_src=small_src,
                 res_src=res_src)
+            if self.oracle is not None:
+                from lsfa_tpu.data.oracle_flow import substitute_gop_mv
+                frames, smalls, mv, res, info = self._cache
+                mv = substitute_gop_mv(
+                    mv, self.oracle, gop_idx * GOP_SIZE, float(info[2]),
+                    cfg.network.RCNN_FEAT_STRIDE,
+                    (self.reader.height, self.reader.width))
+                self._cache = (frames, smalls, mv, res, info)
             self._gop = gop_idx
         return self._cache
 
@@ -455,7 +477,10 @@ class EvalLoader:
             use_video = video is not None and coviar.available()
             prep = (PreparedVideo(video, cfg, self.bucket_hw,
                                   frames_mode=0 if self.full_frames
-                                  else None)
+                                  else None,
+                                  oracle=rec.get("oracle")
+                                  if getattr(cfg.network, "oracle_mv",
+                                             False) else None)
                     if use_video and prepared_available() else None)
             for fid in range(start, n):
                 if fid == 0:

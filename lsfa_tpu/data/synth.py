@@ -181,10 +181,19 @@ def _paint(frame, idmap, oid, shape, color, cx, cy, s, phase, alpha=1.0,
 def render_video(w, h, n_frames, rng, min_objects=1, max_objects=3,
                  n_distractors=0, occluders=0, zoom=0.0, pan_speed=1.5,
                  size_range=(0.06, 0.16), motion_blur=False, flicker=0.0,
-                 speed=5.0, min_visibility=1e-9):
+                 speed=5.0, min_visibility=1e-9, record_state=None):
     """Render one clip. Returns (frames (N,H,W,3) uint8 BGR,
     per-frame list of (box[4], class_id)). See module docstring for the
-    hard-mode knobs; defaults reproduce the round-3 "easy" benchmark."""
+    hard-mode knobs; defaults reproduce the round-3 "easy" benchmark.
+
+    record_state: optional dict to fill with the analytic per-frame
+    motion state (the oracle-warp rung's ground truth — see
+    data/oracle_flow.py): "cam" (T,3) [cam_x, cam_y, zoom],
+    "obj" (T, n_obj, 3) [screen_cx, screen_cy, screen_size] and
+    "idmap8" (T, ceil(h/8), ceil(w/8)) int8 object-id map (-2 bg,
+    -1 occluder), all snapshotted AFTER occluder painting. Recording
+    consumes no RNG draws, so a replay with the same rng reproduces the
+    exact clip (the sidecar-state path for already-encoded datasets)."""
     # camera: linear pan + sinusoidal jitter, sinusoidal zoom
     pan = rng.uniform(-pan_speed, pan_speed, size=2)
     jit_amp = rng.uniform(0, pan_speed) if pan_speed > 1.6 else 0.0
@@ -237,6 +246,11 @@ def render_video(w, h, n_frames, rng, min_objects=1, max_objects=3,
     frames = np.empty((n_frames, h, w, 3), np.uint8)
     annos = []
     idmap = np.empty((h, w), np.int32)
+    if record_state is not None:
+        record_state["cam"] = np.empty((n_frames, 3), np.float32)
+        record_state["obj"] = np.empty((n_frames, len(objs), 3), np.float32)
+        record_state["idmap8"] = np.empty(
+            (n_frames, -(-h // 8), -(-w // 8)), np.int8)
     for t in range(n_frames):
         z = 1.0 + zoom * np.sin(2 * np.pi * t / zoom_T + zoom_phi)
         cam_x = w / 2.0 + pan[0] * t + jit_amp * np.sin(2 * np.pi * t / jit_T)
@@ -268,6 +282,8 @@ def render_video(w, h, n_frames, rng, min_objects=1, max_objects=3,
                 box = _paint(frame, idmap, oid, o["shape"], o["color"],
                              sx, sy, ss, o["phase"],
                              blob_seed=o["blob_seed"])
+            if record_state is not None:
+                record_state["obj"][t, oid] = (sx, sy, ss)
             if box is not None and o["cls"] is not None:
                 boxes.append((box, o["cls"], oid))
                 ideal[oid] = int((idmap == oid).sum())
@@ -297,6 +313,9 @@ def render_video(w, h, n_frames, rng, min_objects=1, max_objects=3,
                     frame[:, lo:hi] = np.clip(fill, 0, 255)[:, None, :]
                     idmap[:, lo:hi] = -1
             oc["pos"] += oc["v"]
+        if record_state is not None:
+            record_state["cam"][t] = (cam_x, cam_y, z)
+            record_state["idmap8"][t] = idmap[::8, ::8].astype(np.int8)
         if flicker:
             frame *= 1.0 + flicker * np.sin(2 * np.pi * t / 17.0)
         frames[t] = np.clip(frame, 0, 255).astype(np.uint8)
@@ -310,10 +329,31 @@ def render_video(w, h, n_frames, rng, min_objects=1, max_objects=3,
     return frames, annos
 
 
+def _gen_params(n_videos, n_frames, seed, sizes, gop_size, min_objects,
+                max_objects, profile, split, knobs):
+    """Resolve generator parameters + the cache tag. The tag must cover
+    EVERY generator parameter: a partial key would silently serve cached
+    clips of the wrong resolution/GOP/object count."""
+    params = dict(HARD_PROFILE) if profile == "hard" else {}
+    if profile == "hard":
+        min_objects = params.pop("min_objects")
+        max_objects = params.pop("max_objects")
+    params.update(knobs)
+    bit_rate = params.pop("bit_rate", None)
+    size_tag = "x".join(f"{w}x{h}" for w, h in sizes)
+    tag = (f"{split}_v{n_videos}_f{n_frames}_s{seed}_g{gop_size}"
+           f"_o{min_objects}-{max_objects}_{size_tag}")
+    if profile != "easy" or knobs:
+        import hashlib
+        kv = sorted({**params, "bit_rate": bit_rate}.items())
+        tag += f"_{profile}_{hashlib.sha1(repr(kv).encode()).hexdigest()[:8]}"
+    return params, bit_rate, min_objects, max_objects, tag
+
+
 def make_synth_vid_dataset(out_dir, n_videos=8, n_frames=60, seed=0,
                            sizes=((960, 576), (576, 960)), gop_size=12,
                            min_objects=1, max_objects=3, split="train",
-                           profile="easy", **knobs):
+                           profile="easy", oracle=False, **knobs):
     """Generate videos + annotations. Returns (frame_roidb, video_roidb,
     annotations) where
       frame_roidb: one record per frame in TrainLoader's format,
@@ -323,41 +363,69 @@ def make_synth_vid_dataset(out_dir, n_videos=8, n_frames=60, seed=0,
     zoom, motion blur, flicker, low-bitrate encode); explicit **knobs
     override either profile. Cached: videos + a .pkl of the annotations
     keyed by the generator parameters; re-calling with the same arguments
-    reuses them."""
+    reuses them.
+
+    oracle=True additionally attaches the analytic per-frame motion state
+    (render_video record_state) to every record as rec["oracle"] — the
+    ground truth the oracle-warp rung substitutes for decoded MVs
+    (data/oracle_flow.py). States live in a <tag>_state.pkl sidecar; for
+    a dataset that was cached WITHOUT states, the generator loop is
+    REPLAYED with the same seed (recording consumes no RNG draws, so the
+    replayed state matches the encoded clips exactly — verified by
+    tests/test_oracle_flow.py)."""
     os.makedirs(out_dir, exist_ok=True)
-    params = dict(HARD_PROFILE) if profile == "hard" else {}
-    if profile == "hard":
-        min_objects = params.pop("min_objects")
-        max_objects = params.pop("max_objects")
-    params.update(knobs)
-    bit_rate = params.pop("bit_rate", None)
-    # the tag must cover EVERY generator parameter: a partial key would
-    # silently serve cached clips of the wrong resolution/GOP/object count
-    size_tag = "x".join(f"{w}x{h}" for w, h in sizes)
-    tag = (f"{split}_v{n_videos}_f{n_frames}_s{seed}_g{gop_size}"
-           f"_o{min_objects}-{max_objects}_{size_tag}")
-    if profile != "easy" or knobs:
-        import hashlib
-        kv = sorted({**params, "bit_rate": bit_rate}.items())
-        tag += f"_{profile}_{hashlib.sha1(repr(kv).encode()).hexdigest()[:8]}"
+    params, bit_rate, min_objects, max_objects, tag = _gen_params(
+        n_videos, n_frames, seed, sizes, gop_size, min_objects,
+        max_objects, profile, split, knobs)
     cache = os.path.join(out_dir, f"{tag}.pkl")
+    state_cache = os.path.join(out_dir, f"{tag}_state.pkl")
+    states = None
     if os.path.exists(cache):
         with open(cache, "rb") as f:
             meta = pickle.load(f)
+        if oracle:
+            if os.path.exists(state_cache):
+                with open(state_cache, "rb") as f:
+                    states = pickle.load(f)
+            else:
+                # replay the exact generation loop, recording state but
+                # skipping the encode (the only RNG consumer is
+                # render_video, so draws line up with the cached clips)
+                rng = np.random.default_rng(seed)
+                states = []
+                for vi in range(n_videos):
+                    w, h = sizes[vi % len(sizes)]
+                    st: dict = {}
+                    render_video(w, h, n_frames, rng, min_objects,
+                                 max_objects, record_state=st, **params)
+                    states.append(st)
+                with open(state_cache, "wb") as f:
+                    pickle.dump(states, f,
+                                protocol=pickle.HIGHEST_PROTOCOL)
     else:
         rng = np.random.default_rng(seed)
         meta = []
+        states = []
         for vi in range(n_videos):
             w, h = sizes[vi % len(sizes)]
+            st: dict = {}
             frames, annos = render_video(w, h, n_frames, rng,
-                                         min_objects, max_objects, **params)
+                                         min_objects, max_objects,
+                                         record_state=st, **params)
             vp = os.path.join(out_dir, f"{tag}_{vi:03d}.mp4")
             coviar.encode_frames(vp, frames, gop_size=gop_size,
                                  bit_rate=bit_rate)
             meta.append({"video_path": vp, "w": w, "h": h,
                          "annos": annos})
+            states.append(st)
         with open(cache, "wb") as f:
             pickle.dump(meta, f, protocol=pickle.HIGHEST_PROTOCOL)
+        # states are cheap to produce during generation — always write
+        # the sidecar so a later oracle=True call needs no replay
+        with open(state_cache, "wb") as f:
+            pickle.dump(states, f, protocol=pickle.HIGHEST_PROTOCOL)
+        if not oracle:
+            states = None
 
     frame_roidb, video_roidb, annotations = [], [], {}
     gidx = 0
@@ -369,6 +437,8 @@ def make_synth_vid_dataset(out_dir, n_videos=8, n_frames=60, seed=0,
             "video_path": m["video_path"],
             "height": m["h"], "width": m["w"],
         })
+        if states is not None:
+            video_roidb[-1]["oracle"] = states[vi]
         for fid in range(n_frames):
             boxes = np.asarray([b for b, _ in m["annos"][fid]],
                                np.float32).reshape(-1, 4)
@@ -382,6 +452,8 @@ def make_synth_vid_dataset(out_dir, n_videos=8, n_frames=60, seed=0,
                 "boxes": boxes, "gt_classes": classes,
                 "flipped": False,
             })
+            if states is not None:
+                frame_roidb[-1]["oracle"] = states[vi]
             annotations[gidx] = {"labels": classes.astype(int),
                                  "boxes": boxes}
             gidx += 1

@@ -186,7 +186,10 @@ def eval_videos(model, variables, cfg, video_roidb, det_cache: str | None = None
 
         for rec in gop_recs:
             det.reset()
-            pv = PreparedVideo(rec["video_path"], cfg, bucket)
+            pv = PreparedVideo(rec["video_path"], cfg, bucket,
+                               oracle=rec.get("oracle")
+                               if getattr(cfg.network, "oracle_mv", False)
+                               else None)
             n_gops = min(rec["frame_seg_len"], pv.num_frames) // GOP_SIZE
             G = int(getattr(cfg.tpu, "eval_gop_window", 2))
             vid_base = base[id(rec)]

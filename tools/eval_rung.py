@@ -36,7 +36,8 @@ from train_synth_full import rung_cfg
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rung", required=True,
-                    choices=["full", "small", "rnet", "mv_only", "rfcn"])
+                    choices=["full", "small", "rnet", "mv_only", "rfcn",
+                             "oracle"])
     ap.add_argument("--ckpt", default="",
                     help="orbax checkpoint dir (default "
                          "/tmp/lsfa_ablation/<rung>/checkpoints)")
@@ -86,7 +87,7 @@ def main():
     _, val_roidb, val_annos = make_synth_vid_dataset(
         args.data, n_videos=args.val_videos, n_frames=args.frames,
         seed=args.val_seed, sizes=sizes, split="val",
-        profile=args.profile)
+        profile=args.profile, oracle=(args.rung == "oracle"))
     logger.info(f"extended val set: {len(val_roidb)} videos x "
                 f"{args.frames} frames (seed {args.val_seed})")
 

@@ -40,7 +40,10 @@ def rung_cfg(rung: str, cpu_smoke: bool = False):
       small:   + small-image detail net (:209-275)
       full:    + FlowNet/Nq long-term key aggregation (flagship, :94-109)
       rfcn:    single-frame baseline (full backbone every frame, DCN kept
-               on so the delta isolates aggregation)"""
+               on so the delta isolates aggregation)
+      oracle:  the mv_only graph fed the generator's analytic GT flow
+               instead of decoded MVs (data/oracle_flow.py) — the upper
+               bound on what ANY MV estimate can achieve on this data"""
     from lsfa_tpu.config import load_config
 
     if cpu_smoke:
@@ -60,13 +63,15 @@ def rung_cfg(rung: str, cpu_smoke: bool = False):
     else:
         cfg = load_config("configs/lsfa_resnet101_vid.yaml")
         sizes = ((960, 576), (576, 960))
-    if rung in ("mv_only", "rnet", "small"):
+    if rung in ("mv_only", "rnet", "small", "oracle"):
         cfg.network.add_lt_aggregation = False
         cfg.network.add_Nq_net = False
-        if rung in ("mv_only", "rnet"):
+        if rung in ("mv_only", "rnet", "oracle"):
             cfg.network.add_small_net = False
-        if rung == "mv_only":
+        if rung in ("mv_only", "oracle"):
             cfg.network.add_rnet = False
+    if rung == "oracle":
+        cfg.network.oracle_mv = True
     return cfg, sizes
 
 
@@ -105,7 +110,8 @@ def main():
                          "occluders, distractors, camera motion, low "
                          "bitrate)")
     ap.add_argument("--rung", default="full",
-                    choices=["full", "small", "rnet", "mv_only", "rfcn"],
+                    choices=["full", "small", "rnet", "mv_only", "rfcn",
+                             "oracle"],
                     help="LSFA module-ablation rung: full = flagship "
                          "(MV warp + R-net + small-net + Nq long-term); "
                          "small drops the Nq/FlowNet long-term stage; rnet "
@@ -139,12 +145,15 @@ def main():
     logger, out_dir = create_logger(cfg.output_path, cfg.symbol, "synth")
 
     t0 = time.perf_counter()
+    oracle = args.rung == "oracle"
     train_roidb, _, _ = make_synth_vid_dataset(
         args.data, n_videos=args.videos, n_frames=args.frames,
-        seed=0, sizes=sizes, split="train", profile=args.profile)
+        seed=0, sizes=sizes, split="train", profile=args.profile,
+        oracle=oracle)
     _, val_roidb, val_annos = make_synth_vid_dataset(
         args.data, n_videos=args.val_videos, n_frames=36,
-        seed=1000, sizes=sizes, split="val", profile=args.profile)
+        seed=1000, sizes=sizes, split="val", profile=args.profile,
+        oracle=oracle)
     logger.info(f"synth data ready in {time.perf_counter() - t0:.1f}s: "
                 f"{len(train_roidb)} train frames, {len(val_roidb)} val "
                 f"videos")
