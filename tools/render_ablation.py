@@ -24,6 +24,10 @@ LADDER = [
     ("small", "+ small-image detail net"),
     ("full", "+ FlowNet/Nq long-term key aggregation (flagship)"),
 ]
+# diagnostic rung, rendered only when its report exists: the mv_only
+# graph fed the generator's analytic GT flow instead of decoded MVs —
+# the upper bound on what ANY MV estimate can achieve on this data
+ORACLE = ("oracle", "mv_only graph + ground-truth motion (oracle bound)")
 
 
 def main():
@@ -31,8 +35,14 @@ def main():
     ap.add_argument("--dir", default="runs/ablation_r04")
     args = ap.parse_args()
 
-    reports, scratch, xval = {}, {}, {}
-    for rung, _ in LADDER:
+    ladder = list(LADDER)
+    if os.path.exists(os.path.join(args.dir,
+                                   f"report_{ORACLE[0]}_xval.json")) or \
+            os.path.exists(os.path.join(args.dir,
+                                        f"report_{ORACLE[0]}.json")):
+        ladder.insert(2, ORACLE)        # right after its mv_only baseline
+    reports, scratch, xval, nine = {}, {}, {}, {}
+    for rung, _ in ladder:
         p = os.path.join(args.dir, f"report_{rung}.json")
         if os.path.exists(p):
             reports[rung] = json.load(open(p))
@@ -42,6 +52,9 @@ def main():
         p = os.path.join(args.dir, f"report_{rung}_xval.json")
         if os.path.exists(p):
             xval[rung] = json.load(open(p))
+        p = os.path.join(args.dir, f"report_{rung}_xval9k.json")
+        if os.path.exists(p):
+            nine[rung] = json.load(open(p))
     ltoff = None
     p = os.path.join(args.dir, "report_full_xval_ltoff.json")
     if os.path.exists(p):
@@ -89,7 +102,7 @@ def main():
     prev = prev_batch = None
     use_x = all(r in xval for r in reports)
     batches = {r.get("batch") for r in reports.values()}
-    for rung, desc in LADDER:
+    for rung, desc in ladder:
         r = reports.get(rung)
         s = scratch.get(rung)
         x = xval.get(rung)
@@ -116,9 +129,21 @@ def main():
         # addition; deltas only chain within the LSFA rungs
         if rung == "mv_only":
             delta = "(baseline for module deltas)"
+        if rung == "oracle":
+            # diagnostic side rung: compare against mv_only directly (on
+            # the same val source) and keep it OUT of the module chain
+            if x and "mv_only" in xval:
+                mo = xval["mv_only"]["mAP_synth_val"]
+                delta = f"{x['mAP_synth_val'] - mo:+.4f} vs mv_only"
+            elif "mv_only" in reports:
+                mo = reports["mv_only"]["mAP_synth_val"]
+                delta = f"{m - mo:+.4f} vs mv_only (in-run)"
+            else:
+                delta = "(vs mv_only)"
         lines.append(f"| {rung} | {desc} | {m:.4f} | {x_map} | {delta} | "
                      f"{s_map} | {r['steps_per_s']:.2f} |")
-        prev, prev_batch = cur, batch
+        if rung != "oracle":
+            prev, prev_batch = cur, batch
     lines += [
         "",
         "The from-scratch column is the recorded negative result: with"
@@ -150,14 +175,14 @@ def main():
         # + the loaded reports (advisor r4: no inlined literals)
         if record:
             rm = record["mAP_synth_val"]
-            chain = " / ".join(f"{r} {rm[r]:.4f}" for r, _ in LADDER
+            chain = " / ".join(f"{r} {rm[r]:.4f}" for r, _ in ladder
                                if r in rm)
             para.append(
                 f" The complete single-batch ladder (all five rungs, one"
                 f" dataset, one host — git {record['git']}, batch"
                 f" {record['batch']}) read {chain}, and stays the delta"
                 f" chain of record")
-            mod_rungs = [r for r, _ in LADDER
+            mod_rungs = [r for r, _ in ladder
                          if r not in ("rfcn", "mv_only") and r in rm]
             if "mv_only" in rm and mod_rungs:
                 prev_m, mods = rm["mv_only"], []
@@ -197,7 +222,7 @@ def main():
             "| rung | extended-val mAP | key-frame mAP | non-key mAP |",
             "|---|---|---|---|",
         ]
-        for rung, _ in LADDER:
+        for rung, _ in ladder:
             x = xval.get(rung)
             if x is None:
                 continue
@@ -205,6 +230,49 @@ def main():
                 f"| {rung} | {x['mAP_synth_val']:.4f} | "
                 f"{x.get('mAP_key_frames', float('nan')):.4f} | "
                 f"{x.get('mAP_nonkey_frames', float('nan')):.4f} |")
+        lines.append("")
+    if any("mAP_by_offset" in x for x in xval.values()):
+        ki = max(len(x.get("mAP_by_offset", []))
+                 for x in xval.values())
+        lines += [
+            "Offset-resolved decay (extended val): mAP of frames k steps"
+            " after their key frame. A collapse with offset means the"
+            " feature propagation leaks; flat-but-low means warped"
+            " detection itself (training), not propagation, is the"
+            " bound. Bins hold 1/%d of the frames each — read the trend,"
+            " not a single bin." % ki,
+            "",
+            "| rung | " + " | ".join(f"+{o}" for o in range(ki)) + " |",
+            "|---|" + "---|" * ki,
+        ]
+        for rung, _ in ladder:
+            x = xval.get(rung)
+            if x is None or "mAP_by_offset" not in x:
+                continue
+            lines.append(f"| {rung} | " + " | ".join(
+                f"{m:.3f}" for m in x["mAP_by_offset"]) + " |")
+        lines.append("")
+    if nine:
+        lines += [
+            "Doubled training budget (one more full epoch from the 4.5k"
+            " checkpoint, LR decay rescheduled — the reference trains"
+            " proportionally far longer than 4.5k steps; if the gap to"
+            " rfcn narrows with budget, the warped rungs are"
+            " under-trained, not structurally limited):",
+            "",
+            "| rung | extended-val mAP @4.5k | @~9k | delta |",
+            "|---|---|---|---|",
+        ]
+        for rung, _ in ladder:
+            n9 = nine.get(rung)
+            if n9 is None:
+                continue
+            x = xval.get(rung)
+            x4 = f"{x['mAP_synth_val']:.4f}" if x else ""
+            d = (f"{n9['mAP_synth_val'] - x['mAP_synth_val']:+.4f}"
+                 if x else "")
+            lines.append(f"| {rung} | {x4} | "
+                         f"{n9['mAP_synth_val']:.4f} | {d} |")
         lines.append("")
     if ltoff is not None and "full" in xval:
         x = xval["full"]
@@ -230,7 +298,7 @@ def main():
         "| rung | " + " | ".join(f"cls{c}" for c in range(1, 9)) + " |",
         "|---|" + "---|" * 8,
     ]
-    for rung, _ in LADDER:
+    for rung, _ in ladder:
         r = reports.get(rung)
         if r is None:
             continue
@@ -250,7 +318,7 @@ def main():
     out = os.path.join(args.dir, "ABLATION.md")
     with open(out, "w") as f:
         f.write("\n".join(lines))
-    print(f"wrote {out} ({len(reports)}/{len(LADDER)} rungs)")
+    print(f"wrote {out} ({len(reports)}/{len(ladder)} rungs)")
 
 
 if __name__ == "__main__":
