@@ -444,11 +444,126 @@ def run_multistream(lanes: int) -> dict:
     }
 
 
+def run_timeplex(streams: int) -> dict:
+    """Aggregate end-to-end throughput over N REAL streams, decode
+    included — the production multistream mode (VERDICT r4 item 4):
+    streams are TIME-MULTIPLEXED through the single-lane GOP-scan
+    program (the bench headline's peak-FPS program) with per-stream
+    device-resident carries swapped between dispatches, NOT lane-batched
+    lockstep (measured r4 to cost 3.6x the single-lane window for 3x the
+    frames — an aggregate pessimization). One decode producer thread per
+    stream; on this 1-core host aggregate decode is serial, so the bar
+    is aggregate >= single-stream e2e; multi-core hosts scale decode
+    per-stream until the device saturates."""
+    import os
+
+    import jax
+
+    from lsfa_tpu.data import coviar
+
+    # distinct clips (different content seeds) — same spec as the
+    # headline clip so per-frame costs are comparable
+    clips = []
+    for s in range(streams):
+        path = CLIP.replace(".mp4", f"_tp{s}.mp4")
+        if not os.path.exists(path):
+            coviar.encode_test_video(path, n_frames=N_GOPS * 12, w=CLIP_W,
+                                     h=CLIP_H, gop_size=12, seed=3 + s)
+        clips.append(path)
+
+    arms = [E2EArm(flags=[], clip=c) for c in clips]
+    # ONE detector/program set serves every stream (arm 0's); the other
+    # arms only contribute their decoders
+    det = arms[0].det
+    G = arms[0].G
+    arms[0].warmup()
+    states = [None] * streams
+
+    def trial():
+        qs = [queue.Queue(maxsize=2) for _ in range(streams)]
+        decode_s = [0.0]
+
+        def producer(s):
+            pv = arms[s].pv
+            pv._gop = -1
+            for g in range(arms[s].n_gops):
+                t0 = time.perf_counter()
+                payload = pv.gop(g)
+                pv._gop = -1
+                decode_s[0] += time.perf_counter() - t0
+                qs[s].put(payload)
+            qs[s].put(None)
+
+        threads = [threading.Thread(target=producer, args=(s,),
+                                    daemon=True) for s in range(streams)]
+        t0 = time.perf_counter()
+        for th in threads:
+            th.start()
+        from collections import deque
+        live = deque(range(streams))
+        windows = [[] for _ in range(streams)]
+        firsts = [True] * streams
+        done = [False] * streams
+        n_frames = 0
+        prev_out = None
+        while live:
+            s = live.popleft()
+            item = qs[s].get()
+            if item is None:
+                done[s] = True
+            else:
+                windows[s].append(item)
+                live.append(s)
+            win = windows[s]
+            if len(win) == G or (done[s] and win):
+                real = len(win)
+                while len(win) < G:
+                    win.append(win[-1])
+                if firsts[s]:
+                    det.reset()
+                else:
+                    det.set_state(states[s])
+                nf, out = arms[0].dispatch(win, firsts[s], real)
+                states[s] = det.get_state()
+                firsts[s] = False
+                n_frames += nf
+                if prev_out is not None:
+                    jax.block_until_ready(prev_out[2])
+                prev_out = out
+                windows[s] = []
+        if prev_out is not None:
+            jax.block_until_ready(prev_out[2])
+        wall = time.perf_counter() - t0
+        return n_frames / wall, decode_s[0] / max(n_frames, 1) * 1000
+
+    trials = []
+    for t in range(TRIALS):
+        fps, dec_ms = trial()
+        trials.append(fps)
+        print(f"trial {t}: {fps:.1f} FPS aggregate e2e ({streams} "
+              f"time-multiplexed streams, decode {dec_ms:.1f} ms/f)",
+              file=sys.stderr, flush=True)
+    fps = float(np.median(trials))
+    print(f"all trials: {[round(f, 1) for f in trials]}", file=sys.stderr,
+          flush=True)
+    return {
+        "metric": "lsfa_timeplex_e2e_fps",
+        "value": round(fps, 2),
+        "unit": (f"frames/sec aggregate end-to-end incl. decode, "
+                 f"{streams} time-multiplexed streams through the "
+                 f"single-lane scan program (608x1024, median of "
+                 f"{TRIALS})"),
+        "vs_baseline": round(fps / 30.0, 3),
+    }
+
+
 def main():
     from lsfa_tpu.utils.env import setup_cache
 
     setup_cache()
-    if "--multistream" in sys.argv:
+    if "--timeplex" in sys.argv:
+        result = run_timeplex(int(sys.argv[sys.argv.index("--timeplex") + 1]))
+    elif "--multistream" in sys.argv:
         lanes = int(sys.argv[sys.argv.index("--multistream") + 1])
         result = run_multistream(lanes)
     elif "--device-only" in sys.argv:
@@ -497,11 +612,14 @@ if __name__ == "__main__":
             sys.exit(1)
         headline = not any(a.startswith("--") for a in sys.argv[1:])
         if headline and not os.environ.get("LSFA_BENCH_NO_MULTI"):
-            # chip-saturation companion number (VERDICT r3 item 3): the
-            # 3-lane aggregate, in its own process so a fault there can
-            # never cost the headline metric
-            multi = run_inner(["--multistream", "3"], retries=1)
+            # multistream companion number, in its own process so a fault
+            # there can never cost the headline metric. Time-multiplexed
+            # streams (r5) replaced lane-batched lockstep (a measured
+            # aggregate pessimization: 3 lockstep lanes cost 3.6x the
+            # single-lane window for 3x the frames); lockstep remains as
+            # the opt-in --multistream mode for dispatch-bound hosts.
+            multi = run_inner(["--timeplex", "3"], retries=1)
             if multi is not None:
-                result["aggregate_3lane_device_fps"] = multi["value"]
+                result["aggregate_3stream_timeplex_e2e_fps"] = multi["value"]
         print(json.dumps(result))
         sys.exit(0)

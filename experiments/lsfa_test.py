@@ -28,10 +28,12 @@ def resolve_train_ckpt_dir(cfg, out_dir: str) -> str | None:
 def run_test(cfg, params=None, batch_stats=None, ckpt_dir=None,
              ignore_cache=False, max_frames=None, lanes: int = 1,
              mesh_shape: int = 0, vis_frames: int = 0,
-             thresh: float | None = None):
-    """lanes > 1 batches that many video streams per dispatch (the
-    reference's multi-GPU eval sharding, function/test_rcnn.py:69-75,
-    as one lane-batched program); mesh_shape > 0 additionally shards the
+             thresh: float | None = None, streams: int = 0):
+    """streams > 1 time-multiplexes that many video streams through the
+    single-lane scan program (per-stream device-resident carries — the
+    aggregate-throughput default; eval_videos_timeplex). lanes > 1
+    instead batches streams in LOCKSTEP per dispatch (opt-in for
+    dispatch-bound hosts); mesh_shape > 0 additionally shards the
     lane axis over that many devices (lanes % mesh_shape == 0).
     vis_frames/thresh mirror the reference launcher's --vis/--thresh
     (dff_rfcn/test.py:24-39): annotate the first N frames / override the
@@ -40,7 +42,8 @@ def run_test(cfg, params=None, batch_stats=None, ckpt_dir=None,
 
     from lsfa_tpu.data.dataset import ImageNetVID
     from lsfa_tpu.eval.driver import (eval_videos, eval_videos_lanes,
-                                      eval_videos_rfcn, evaluate_map)
+                                      eval_videos_rfcn,
+                                      eval_videos_timeplex, evaluate_map)
     from lsfa_tpu.train.driver import is_rfcn
     from lsfa_tpu.train.checkpoint import load_checkpoint
     from lsfa_tpu.train.driver import init_model
@@ -85,6 +88,10 @@ def run_test(cfg, params=None, batch_stats=None, ckpt_dir=None,
         dets = eval_videos_rfcn(model, variables, cfg, video_roidb,
                                 det_cache=cache, logger=logger,
                                 max_frames=max_frames)
+    elif streams > 1:
+        dets = eval_videos_timeplex(model, variables, cfg, video_roidb,
+                                    streams=streams, det_cache=cache,
+                                    logger=logger, max_frames=max_frames)
     elif lanes > 1:
         mesh = None
         if mesh_shape:
@@ -136,8 +143,13 @@ def main():
     ap.add_argument("--ckpt", default=None, help="checkpoint directory")
     ap.add_argument("--ignore-cache", action="store_true")
     ap.add_argument("--max-frames", type=int, default=None)
+    ap.add_argument("--streams", type=int, default=0,
+                    help="time-multiplexed video streams through the "
+                         "single-lane program (aggregate-throughput "
+                         "default)")
     ap.add_argument("--lanes", type=int, default=1,
-                    help="video streams batched per dispatch (inference DP)")
+                    help="video streams batched per dispatch in lockstep "
+                         "(opt-in inference DP for dispatch-bound hosts)")
     ap.add_argument("--mesh", type=int, default=0,
                     help="shard the lane axis over this many devices")
     ap.add_argument("--vis", type=int, default=0, metavar="N",
@@ -156,7 +168,8 @@ def main():
         cfg.tpu.decode_workers = args.decode_workers
     run_test(cfg, ckpt_dir=args.ckpt, ignore_cache=args.ignore_cache,
              max_frames=args.max_frames, lanes=args.lanes,
-             mesh_shape=args.mesh, vis_frames=args.vis, thresh=args.thresh)
+             mesh_shape=args.mesh, vis_frames=args.vis, thresh=args.thresh,
+             streams=args.streams)
 
 
 if __name__ == "__main__":

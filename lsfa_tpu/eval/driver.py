@@ -256,6 +256,196 @@ def eval_videos(model, variables, cfg, video_roidb, det_cache: str | None = None
     return detections
 
 
+def eval_videos_timeplex(model, variables, cfg, video_roidb,
+                         streams: int = 3, det_cache: str | None = None,
+                         logger=None, max_frames: int | None = None,
+                         lt_off: bool = False):
+    """N-stream aggregate throughput by TIME-MULTIPLEXING, not lockstep
+    lane batching: each stream keeps its own device-resident recurrent
+    state (~6 MB of feat_key/data_key handles), and windows from
+    different streams round-robin through the ONE single-lane GOP-scan
+    program — the program bench.py measures at peak device FPS. Decode
+    runs in one producer thread per stream, overlapped with dispatch.
+
+    Rationale (round-4 finding): lane-batched lockstep compute costs
+    3.6x the single-lane window for 3x the frames, so 3 lockstep lanes
+    produce FEWER total frames than one stream. Swapping stream carries
+    between dispatches reuses the peak-FPS program for every frame; on a
+    multi-core serving host the per-stream decode threads scale the
+    aggregate linearly until the device saturates. The reference's
+    throughput answer is the same shape — stream-level sharding, one
+    worker per compute unit (function/test_rcnn.py:69-75,
+    core/tester.py:301-312) — not batched lockstep.
+
+    Detections are identical to eval_videos over the same records (same
+    program, same per-video recurrence; only the dispatch ORDER
+    interleaves streams) — pinned by tests/test_timeplex.py."""
+    import queue as _q
+    import threading
+
+    log = logger.info if logger else print
+    cached = _load_det_cache(det_cache, log)
+    if cached is not None:
+        return cached
+
+    from lsfa_tpu.data.loader import GOP_SIZE, PreparedVideo
+    from lsfa_tpu.data.prefetch import DevicePrefetcher
+
+    base, _ = _frame_bases(video_roidb)
+    timer = PhaseTimer()
+    detections = {}
+    oracle_on = bool(getattr(cfg.network, "oracle_mv", False))
+    G = int(getattr(cfg.tpu, "eval_gop_window", 2))
+    groups = group_videos_by_bucket(video_roidb, cfg)
+    for bucket, recs in groups.items():
+        det = StreamingDetector(model, variables, cfg, bucket,
+                                lt_off=lt_off)
+        gop_recs, frame_recs = [], []
+        for rec in recs:
+            reason = _gop_eval_reason(rec, cfg)
+            (gop_recs if reason is None else frame_recs).append(rec)
+        S = max(1, min(streams, len(gop_recs)))
+        log(f"bucket {bucket}: {len(recs)} videos over {S} "
+            f"time-multiplexed streams")
+        # greedy length-balanced stream assignment (test_rcnn.py:69-75)
+        lanes: list = [[] for _ in range(S)]
+        loads = np.zeros(S)
+        for rec in sorted(gop_recs, key=lambda r: -r["frame_seg_len"]):
+            i = int(np.argmin(loads))
+            lanes[i].append(rec)
+            loads[i] += rec["frame_seg_len"]
+
+        stop = threading.Event()
+        tails: list = [[] for _ in range(S)]
+        qs = [_q.Queue(maxsize=2) for _ in range(S)]
+
+        def producer(s):
+            try:
+                for rec in lanes[s]:
+                    pv = PreparedVideo(
+                        rec["video_path"], cfg, bucket,
+                        oracle=rec.get("oracle") if oracle_on else None)
+                    n_gops = min(rec["frame_seg_len"],
+                                 pv.num_frames) // GOP_SIZE
+                    vid_base = base[id(rec)]
+                    g0, first = 0, True
+                    while g0 < n_gops and not stop.is_set():
+                        win = list(range(g0, min(g0 + G, n_gops)))
+                        real = len(win)
+                        while len(win) < G:
+                            win.append(win[-1])
+                        payloads = [pv.gop(g) for g in win]
+                        while not stop.is_set():
+                            try:
+                                qs[s].put((payloads, win, real, vid_base,
+                                           first), timeout=0.5)
+                                break
+                            except _q.Full:
+                                continue
+                        first = False
+                        g0 += real
+                    rest = rec["frame_seg_len"] - n_gops * GOP_SIZE
+                    if rest > 0:
+                        tails[s].append((rec, n_gops * GOP_SIZE, vid_base))
+            except BaseException as e:          # surface in the consumer
+                qs[s].put(e)
+                return
+            qs[s].put(None)
+
+        threads = [threading.Thread(target=producer, args=(s,),
+                                    daemon=True) for s in range(S)]
+        for t in threads:
+            t.start()
+
+        from collections import deque
+        live = deque(range(S))
+        states: dict = {}
+        pending = None          # one window in flight beyond the current
+        frame_counter = 0
+
+        def flush_pending():
+            nonlocal pending, frame_counter
+            if pending is None:
+                return
+            (kd, kv, cd, cv), pwin, preal, pbase = pending
+            with timer.phase("post"):
+                kd, kv = np.asarray(kd), np.asarray(kv)
+                cd, cv = np.asarray(cd), np.asarray(cv)
+                for wi in range(preal):
+                    g = pwin[wi]
+                    detections[pbase + g * GOP_SIZE] = \
+                        collect_detections(kd[wi], kv[wi])
+                    for i in range(cd.shape[1]):
+                        detections[pbase + g * GOP_SIZE + 1 + i] = \
+                            collect_detections(cd[wi, i], cv[wi, i])
+                    frame_counter += 1 + cd.shape[1]
+            pending = None
+
+        while live:
+            s = live.popleft()
+            with timer.phase("data"):
+                item = qs[s].get()
+            if item is None:
+                continue                       # stream exhausted
+            if isinstance(item, BaseException):
+                stop.set()
+                raise item
+            live.append(s)
+            payloads, win, real, vid_base, first = item
+            with timer.phase("net"):
+                if first:
+                    det.reset()                # new video bootstraps
+                else:
+                    det.set_state(states[s])
+                outs = det.process_prepared_window(payloads, first=first)
+                states[s] = det.get_state()
+            flush_pending()
+            pending = (outs, win, real, vid_base)
+            timer.tick()
+            if max_frames is not None and frame_counter >= max_frames:
+                stop.set()
+                break
+        flush_pending()
+        stop.set()
+
+        # per-frame fallback: ineligible videos + partial-GOP tails
+        for s in range(S):
+            for rec, tail_start, vid_base in tails[s]:
+                t_rec = dict(rec)
+                t_rec["_tail_start"] = tail_start
+                base[id(t_rec)] = vid_base
+                frame_recs.append(t_rec)
+        if frame_recs and (max_frames is None
+                           or frame_counter < max_frames):
+            loader = DevicePrefetcher(
+                EvalLoader(frame_recs, cfg, bucket_hw=bucket), depth=2)
+            cur_video = -1
+            for item in loader:
+                rec = frame_recs[item["video_index"]]
+                tail_start = rec.get("_tail_start", 0)
+                if item["video_index"] != cur_video:
+                    det.reset()
+                    cur_video = item["video_index"]
+                flag = item["flag"]
+                if tail_start and item["frame_id"] == tail_start:
+                    flag = 0
+                with timer.phase("net"):
+                    d, v = det.process_frame(
+                        item["data"], item["im_info"],
+                        item["motion_vector"], item["res_diff"],
+                        flag=flag, small=item["small"])
+                with timer.phase("post"):
+                    detections[base[id(rec)] + item["frame_id"]] = \
+                        collect_detections(d, v)
+                timer.tick()
+                frame_counter += 1
+                if max_frames is not None and frame_counter >= max_frames:
+                    break
+    log(timer.summary())
+    _save_det_cache(det_cache, detections)
+    return detections
+
+
 def eval_videos_rfcn(model, variables, cfg, video_roidb,
                      det_cache: str | None = None, logger=None,
                      max_frames: int | None = None):

@@ -215,6 +215,19 @@ class StreamingDetector:
         self.data_key = self._lane_put(jnp.zeros((b, h, w, 3)))
         self.frame_id = 0
 
+    def get_state(self):
+        """Device-resident recurrent state (feat_key, data_key, frame_id)
+        of the CURRENT stream — a handle triple, no host transfer. With
+        set_state this time-multiplexes MANY streams through one detector
+        (and one compiled program set): swap a stream's carry in, dispatch
+        its window, swap the returned carry out (~6 MB of device arrays
+        per stream stay resident in HBM). See
+        multistream.eval_videos_timeplex."""
+        return (self.feat_key, self.data_key, self.frame_id)
+
+    def set_state(self, state):
+        self.feat_key, self.data_key, self.frame_id = state
+
     def key_frame_flag(self, frame_id: int) -> int:
         """The TestLoader schedule (loader.py:118-131)."""
         if frame_id == 0:
