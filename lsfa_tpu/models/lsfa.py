@@ -83,10 +83,19 @@ class LSFA(nn.Module):
                     "add_small_net requires nettype='resnet' (the MobileNet"
                     " trunks expose no per-stage features — matching the"
                     " reference's mobilenetv2.py get_backbone contract)")
-            from lsfa_tpu.models.mobilenet import MobileNetV2Backbone
-            self.backbone = MobileNetV2Backbone(
-                relu6=(self.nettype == "mobilenet"), inv_resolution=16,
-                dtype=self.dtype, name="backbone")
+            if self.nettype == "mobilenet_hobot":
+                # faithful Hobot trunk: unconditional t=1 expansion,
+                # undilated stride-1 res5, 320-ch output, plain relu
+                # (mobilenetv2_hobot.py:16-264)
+                from lsfa_tpu.models.mobilenet import (
+                    MobileNetV2HobotBackbone)
+                self.backbone = MobileNetV2HobotBackbone(
+                    inv_resolution=16, dtype=self.dtype, name="backbone")
+            else:
+                from lsfa_tpu.models.mobilenet import MobileNetV2Backbone
+                self.backbone = MobileNetV2Backbone(
+                    relu6=True, inv_resolution=16,
+                    dtype=self.dtype, name="backbone")
         else:
             raise ValueError(f"unknown nettype: {self.nettype!r}")
         self.feat_conv_3x3 = nn.Conv(

@@ -1,14 +1,13 @@
 """MobileNetV2 backbone family (alternative small trunks).
 
 Capability target: dff_rfcn/symbols/mobilenetv2.py (standard MobileNetV2
-inverted-residual trunk, width 1.0) and mobilenetv2_hobot.py (the
-variant with ReLU instead of ReLU6 and no expansion on the stem block),
-selected by network.nettype (resnet_v1_101_flownet_rfcn.py:33-40). Like
-the reference, these expose only the final backbone feature (no
-need_part/small-net plumbing).
-
-Stride-16 output: the reference keeps MobileNetV2's stage strides but
-dilates the last stride-2 stage, mirroring inv_resolution=16.
+inverted-residual trunk, width 1.0 — MobileNetV2Backbone here, stride-16
+via dilating the last stride-2 stage) and mobilenetv2_hobot.py (the
+Hobot variant — MobileNetV2HobotBackbone, modeled faithfully: plain
+ReLU, unconditional t=1 expansion conv, undilated stride-1 res5 at
+stride 16, no 1280 head conv). Selected by network.nettype
+(resnet_v1_101_flownet_rfcn.py:33-40). Like the reference, these expose
+only the final backbone feature (no need_part/small-net plumbing).
 """
 
 from __future__ import annotations
@@ -38,6 +37,10 @@ class InvertedResidual(nn.Module):
     expand: int = 6
     dilate: int = 1
     relu6: bool = True
+    # hobot variant: the 1x1 pointwise expansion exists even at t=1
+    # (mobilenetv2_hobot.py:31-49 builds it unconditionally; standard
+    # MobileNetV2 skips it when the expansion factor is 1)
+    always_expand: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -45,7 +48,7 @@ class InvertedResidual(nn.Module):
         act = nn.relu6 if self.relu6 else nn.relu
         cin = x.shape[-1]
         h = x
-        if self.expand != 1:
+        if self.expand != 1 or self.always_expand:
             h = nn.Conv(cin * self.expand, (1, 1), use_bias=False,
                         dtype=self.dtype, name="expand")(h)
             h = BatchNorm(dtype=self.dtype, name="expand_bn")(h, train)
@@ -97,3 +100,56 @@ class MobileNetV2Backbone(nn.Module):
                     dtype=self.dtype, name="head")(x)
         x = BatchNorm(dtype=self.dtype, name="head_bn")(x, train)
         return [act(x)]
+
+
+class MobileNetV2HobotBackbone(nn.Module):
+    """The Hobot MobileNetV2 variant, faithfully (VERDICT r4 item 8).
+
+    Structural deltas vs the standard trunk, from
+    dff_rfcn/symbols/mobilenetv2_hobot.py:16-264:
+      * plain ReLU everywhere (no ReLU6),
+      * bottleneck1 (t=1) KEEPS its 1x1 pointwise expansion conv
+        (:31-49 builds it unconditionally; standard MBV2 skips t=1),
+      * stride-16 mode runs res5 at stride 1 WITHOUT dilation (:226-233
+        just flips the stride; there is no dilated variant) and forces
+        is_change_stride so no skip connection forms across the stage
+        boundary,
+      * NO final 1280-channel head conv — the backbone output is
+        bottleneck17's 320 channels (:257-264 returns the raw block).
+    The fix-point (quantization-simulation) branches are asserts-false
+    dead code in the reference (:92, :119) and are not modeled.
+    """
+
+    width: float = 1.0                 # `multiplier` (:10)
+    inv_resolution: int = 16
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        assert self.inv_resolution in (16, 32)
+        x = x.astype(self.dtype)
+        x = nn.Conv(int(32 * self.width), (3, 3), strides=(2, 2),
+                    padding="SAME", use_bias=False, dtype=self.dtype,
+                    name="conv1")(x)
+        x = BatchNorm(dtype=self.dtype, name="conv1_bn")(x, train)
+        x = nn.relu(x)
+        # (expansion t, out channels, repeats, stage stride); res5's
+        # stride depends on inv_resolution — stride 1 UNDILATED at 16
+        cfg = [
+            (1, 16, 1, 1),
+            (6, 24, 2, 2),
+            (6, 32, 3, 2),
+            (6, 64, 4, 2),
+            (6, 96, 3, 1),
+            (6, 160, 3, 2 if self.inv_resolution == 32 else 1),
+            (6, 320, 1, 1),
+        ]
+        bi = 1
+        for t, ch, n, s in cfg:
+            for i in range(n):
+                x = InvertedResidual(
+                    int(ch * self.width), stride=s if i == 0 else 1,
+                    expand=t, relu6=False, always_expand=True,
+                    dtype=self.dtype, name=f"bottleneck{bi}")(x, train)
+                bi += 1
+        return [x]

@@ -22,11 +22,46 @@ def test_mobilenet_stride16():
 
 
 def test_mobilenet_hobot_variant():
-    bb = MobileNetV2Backbone(width=1.0, relu6=False)
-    x = jnp.zeros((1, 32, 32, 3))
+    """Faithful Hobot trunk (mobilenetv2_hobot.py:16-264): 17 bottleneck
+    blocks, bottleneck1 (t=1) KEEPS its 1x1 expansion conv, no 1280 head
+    conv (320-ch output), stride 16 via an undilated stride-1 res5."""
+    from lsfa_tpu.models.mobilenet import MobileNetV2HobotBackbone
+
+    bb = MobileNetV2HobotBackbone(width=1.0)
+    x = jnp.zeros((1, 64, 96, 3))
     v = bb.init(jax.random.PRNGKey(0), x)
-    out = bb.apply(v, jnp.ones((1, 32, 32, 3)))[0]
-    assert out.shape[1] == 2
+    p = v["params"]
+    assert set(k for k in p if k.startswith("bottleneck")) == {
+        f"bottleneck{i}" for i in range(1, 18)}
+    # t=1 block still has the pointwise expansion (reference :31-49
+    # builds it unconditionally; standard MBV2 skips it)
+    assert "expand" in p["bottleneck1"]
+    assert p["bottleneck1"]["expand"]["kernel"].shape == (1, 1, 32, 32)
+    assert "head" not in p                     # no 1280 head conv (:257)
+    out = bb.apply(v, jnp.ones((1, 64, 96, 3)))[0]
+    assert out.shape == (1, 4, 6, 320)         # stride 16, 320 channels
+    assert np.isfinite(np.asarray(out)).all()
+    # res5 runs stride-1 UNDILATED (reference :226-233 flips the stride
+    # only; there is no dilated variant)
+    assert p["bottleneck14"]["dw"]["kernel"].shape[:2] == (3, 3)
+
+
+def test_hobot_lsfa_selectable():
+    """nettype='mobilenet_hobot' builds the faithful trunk inside LSFA."""
+    from lsfa_tpu.models.lsfa import LSFA
+
+    m = LSFA(nettype="mobilenet_hobot", add_small_net=False, feat_dim=64,
+             add_dcn=False)
+    data = jnp.zeros((1, 64, 64, 3))
+    v = m.init(jax.random.PRNGKey(0), data, data, data,
+               jnp.ones((1,)), jnp.ones((1,)),
+               jnp.zeros((1, 4, 4, 2)), jnp.zeros((1, 4, 4, 3)))
+    bb = v["params"]["backbone"]
+    assert "bottleneck17" in bb and "head" not in bb
+    out = m.apply(v, data, data, jnp.zeros((1, 4, 4, 64)), jnp.ones((1,)),
+                  method=m.forward_key)
+    assert out["feat"].shape == (1, 4, 4, 64)
+    assert np.isfinite(np.asarray(out["feat"])).all()
 
 
 def test_metrics_ignore_label():
