@@ -1,11 +1,21 @@
-"""Multi-stream (lane-batched) evaluation.
+"""Multi-stream (lane-batched LOCKSTEP) evaluation — the opt-in mode.
 
 The reference parallelizes inference by giving each GPU a process and a
-shard of videos (function/test_rcnn.py:69-75, tester.py:301-312). The
-TPU-native equivalent: run B video streams as a batch dimension through
-ONE set of jitted programs — the device-resident key-feature cache gets a
-lane axis, and every step processes B frames at once. Sharding the lane
-axis over a mesh extends this across chips/hosts.
+shard of videos (function/test_rcnn.py:69-75, tester.py:301-312). Two
+TPU-native forms exist here:
+
+  * TIME-MULTIPLEXED (the default since r5, eval/driver.py
+    eval_videos_timeplex): streams round-robin through the single-lane
+    GOP-scan program with per-stream device-resident carries — reuses
+    the peak-FPS program for every frame. Round 4 measured lockstep
+    lane batching as an aggregate pessimization (3 lanes cost 3.6x the
+    single-lane window for 3x the frames).
+  * LOCKSTEP lane batching (this module): B streams ride one batch axis
+    through batch=B programs — one dispatch per step covers B frames,
+    so it wins only when per-dispatch latency dominates compute
+    (dispatch-bound hosts/tiny models). Sharding the lane axis over a
+    mesh extends it across chips/hosts (the multi-chip inference-DP
+    path, exercised by dryrun_multichip).
 
 Lockstep scheduling: every video is padded to a multiple of the key-frame
 interval, so all lanes are always at the same position within a GOP and

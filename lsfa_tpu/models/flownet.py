@@ -40,7 +40,14 @@ class FlowNetS(nn.Module):
             return nn.Conv(f, (k, k), strides=(s, s), padding=((p, p), (p, p)),
                            name=name, dtype=dt)(x)
 
-        x = jnp.concatenate([img_cur / 255.0, img_ref / 255.0], axis=-1).astype(dt)
+        # cast to the compute dtype BEFORE the /255 + concat + pool chain:
+        # these are the largest activations in the whole key step (full-res
+        # x 6 channels); in f32 they showed up as four ~45 MB layout
+        # transposes in the r4 xplane (ROADMAP r4 ladder note). bf16
+        # carries the 0..255/255 range exactly enough for a flow trunk
+        # that immediately computes in bf16 anyway.
+        x = jnp.concatenate([img_cur.astype(dt), img_ref.astype(dt)],
+                            axis=-1) / jnp.asarray(255.0, dt)
         x = avg_pool(x, 2)                                   # half resolution
         c1 = leaky_relu(cv(x, 64, 7, 2, "conv1"))            # 1/4
         c2 = leaky_relu(cv(c1, 128, 5, 2, "conv2"))          # 1/8
