@@ -471,12 +471,19 @@ def run_timeplex(streams: int) -> dict:
                                      h=CLIP_H, gop_size=12, seed=3 + s)
         clips.append(path)
 
-    arms = [E2EArm(flags=[], clip=c) for c in clips]
-    # ONE detector/program set serves every stream (arm 0's); the other
-    # arms only contribute their decoders
-    det = arms[0].det
-    G = arms[0].G
-    arms[0].warmup()
+    from lsfa_tpu.data.loader import PreparedVideo
+
+    # ONE detector/program set serves every stream; the other streams
+    # contribute only their decoders (building N detectors would re-trace
+    # the scan program N times for the same compiled executable)
+    arm = E2EArm(flags=[], clip=clips[0])
+    det = arm.det
+    G = arm.G
+    arm.warmup()
+    bucket = tuple(arm.cfg.tpu.default_bucket)
+    pvs = [arm.pv] + [PreparedVideo(c, arm.cfg, bucket)
+                      for c in clips[1:]]
+    n_gops = [min(N_GOPS, pv.num_frames // 12) for pv in pvs]
     states = [None] * streams
 
     def trial():
@@ -484,9 +491,9 @@ def run_timeplex(streams: int) -> dict:
         decode_s = [0.0]
 
         def producer(s):
-            pv = arms[s].pv
+            pv = pvs[s]
             pv._gop = -1
-            for g in range(arms[s].n_gops):
+            for g in range(n_gops[s]):
                 t0 = time.perf_counter()
                 payload = pv.gop(g)
                 pv._gop = -1
@@ -523,7 +530,7 @@ def run_timeplex(streams: int) -> dict:
                     det.reset()
                 else:
                     det.set_state(states[s])
-                nf, out = arms[0].dispatch(win, firsts[s], real)
+                nf, out = arm.dispatch(win, firsts[s], real)
                 states[s] = det.get_state()
                 firsts[s] = False
                 n_frames += nf
