@@ -20,6 +20,7 @@
 # Usage: tools/run_ablation_r05.sh [STEPS] [PROFILE]
 set -u
 set -o pipefail
+export PYTHONUNBUFFERED=1
 STEPS=${1:-4500}
 PROFILE=${2:-hard}
 REPO=$(cd "$(dirname "$0")/.." && pwd)
@@ -51,17 +52,26 @@ train_rung () {  # rung steps [extra train args...]
   if [ "$RUNG" != "rfcn" ]; then
     INIT="--init-from $OUTROOT/rfcn/checkpoints"
   fi
-  local RESUME=""
-  if [ -d "$OUT/checkpoints" ] && [ -n "$(ls -A "$OUT/checkpoints" 2>/dev/null)" ]; then
-    RESUME="--resume"
-    echo "(resuming rung $RUNG from $OUT/checkpoints)"
-  fi
-  echo "=== rung $RUNG ($S steps, profile=$PROFILE) ==="
-  python "$REPO/tools/train_synth_full.py" \
-    --rung "$RUNG" --profile "$PROFILE" --steps "$S" \
-    --out "$OUT" --data "$DATA" --batch-tag "$BATCH" $INIT $RESUME "$@" \
-    > "$OUT.log" 2>&1
-  local rc=$?
+  # two attempts: a tunnel stall kills attempt 1, attempt 2 resumes from
+  # the last epoch checkpoint in a fresh process (timeout bounds a wedged
+  # device->host transfer — observed 20+ min hangs this round)
+  local rc=1
+  for attempt in 1 2; do
+    local RESUME=""
+    if [ -d "$OUT/checkpoints" ] && [ -n "$(ls -A "$OUT/checkpoints" 2>/dev/null)" ]; then
+      RESUME="--resume"
+      echo "(resuming rung $RUNG from $OUT/checkpoints)"
+    fi
+    echo "=== rung $RUNG ($S steps, profile=$PROFILE, attempt $attempt) ==="
+    timeout 7200 python "$REPO/tools/train_synth_full.py" \
+      --rung "$RUNG" --profile "$PROFILE" --steps "$S" \
+      --out "$OUT" --data "$DATA" --batch-tag "$BATCH" $INIT $RESUME "$@" \
+      > "$OUT.log" 2>&1
+    rc=$?
+    [ $rc -eq 0 ] && break
+    echo "rung $RUNG attempt $attempt failed (rc=$rc)" >&2
+    sleep 60
+  done
   tail -3 "$OUT.log"
   if [ -f "$OUT/report.json" ]; then
     cp "$OUT/report.json" "$ART/report_$RUNG.json"
@@ -79,12 +89,21 @@ if [ ! -f "$ART/report_rfcn_xval.json" ]; then
 fi
 
 # ---- phase B: FlowNet photometric pretrain (the full rung's warm start)
+# retried in a FRESH process: the tunneled TPU occasionally stalls a
+# device->host transfer mid-run (observed this round: wedged 20+ min in
+# float(loss)); a poisoned backend cannot be re-initialized in-process
 FLOW="$OUTROOT/flow"
 if [ ! -d "$FLOW" ] || [ -z "$(ls -A "$FLOW" 2>/dev/null)" ]; then
-  echo "=== FlowNet photometric pretrain ==="
-  python "$REPO/tools/pretrain_flow.py" --steps 1500 --out "$FLOW" \
-    --data "$DATA" --profile "$PROFILE" > "$OUTROOT/flow.log" 2>&1 \
-    || { echo "flow pretrain FAILED" >&2; exit 1; }
+  for attempt in 1 2 3; do
+    echo "=== FlowNet photometric pretrain (attempt $attempt) ==="
+    timeout 3600 python "$REPO/tools/pretrain_flow.py" --steps 1500 \
+      --out "$FLOW" --data "$DATA" --profile "$PROFILE" \
+      > "$OUTROOT/flow.log" 2>&1 && break
+    echo "flow pretrain attempt $attempt failed (rc=$?)" >&2
+    rm -rf "$FLOW"
+    [ "$attempt" = 3 ] && { echo "flow pretrain FAILED" >&2; exit 1; }
+    sleep 60
+  done
   tail -2 "$OUTROOT/flow.log"
 fi
 

@@ -9,6 +9,7 @@
 # itself (training/propagation) is the bound.
 set -u
 set -o pipefail
+export PYTHONUNBUFFERED=1
 STEPS=${1:-4500}
 PROFILE=${2:-hard}
 REPO=$(cd "$(dirname "$0")/.." && pwd)
