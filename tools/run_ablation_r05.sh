@@ -96,7 +96,7 @@ FLOW="$OUTROOT/flow"
 if [ ! -d "$FLOW" ] || [ -z "$(ls -A "$FLOW" 2>/dev/null)" ]; then
   for attempt in 1 2 3; do
     echo "=== FlowNet photometric pretrain (attempt $attempt) ==="
-    timeout 7200 python "$REPO/tools/pretrain_flow.py" --steps 1500 \
+    timeout 7200 python "$REPO/tools/pretrain_flow.py" --steps 800 \
       --out "$FLOW" --data "$DATA" --profile "$PROFILE" \
       > "$OUTROOT/flow.log" 2>&1 && break
     echo "flow pretrain attempt $attempt failed (rc=$?)" >&2
