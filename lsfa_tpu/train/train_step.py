@@ -70,6 +70,15 @@ class TrainSettings:
     fg_fraction: float = 0.25
     bg_thresh_hi: float = 0.5
     bg_thresh_lo: float = 0.0
+    # RPN-NMS acceleration, same knobs the eval path runs (cfg.tpu.*):
+    # tier = run NMS on only the top `nms_tier` pre-NMS boxes — exact
+    # whenever the tier yields >= post_nms_top_n keeps (ops/proposal.py
+    # rpn_proposals docstring); pallas = fused-VMEM suppression kernel.
+    # The 6000-box untiered suppression matrix was trained-path-only
+    # cost the eval path had already shed (r4: tier+pallas won the
+    # interleaved e2e A/B by ~4%).
+    nms_tier: int = 0
+    nms_pallas: bool = False
 
     @classmethod
     def from_config(cls, cfg):
@@ -106,6 +115,8 @@ class TrainSettings:
             fg_fraction=cfg.TRAIN.FG_FRACTION,
             bg_thresh_hi=cfg.TRAIN.BG_THRESH_HI,
             bg_thresh_lo=cfg.TRAIN.BG_THRESH_LO,
+            nms_tier=int(getattr(cfg.tpu, "nms_tier", 0)),
+            nms_pallas=bool(getattr(cfg.tpu, "nms_pallas", False)),
         )
 
 
@@ -146,7 +157,8 @@ def detection_losses(out, batch, anchors, rng, s: TrainSettings):
                              pre_nms_top_n=s.pre_nms_top_n,
                              post_nms_top_n=s.post_nms_top_n,
                              nms_thresh=s.nms_thresh, min_size=s.min_size,
-                             feat_stride=s.feat_stride)
+                             feat_stride=s.feat_stride,
+                             nms_tier=s.nms_tier, use_pallas=s.nms_pallas)
 
     rois, _, _ = jax.vmap(one_img)(fg_probs, deltas, batch["im_info"])
 
