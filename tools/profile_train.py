@@ -113,7 +113,11 @@ def main():
             batch["eq_flag"], batch["eq_flag_old"],
             batch["motion_vector"], batch["res_diff"],
             method=model.forward_train, mutable=["batch_stats"])
-        return out
+        # reduce to one scalar: every output map must be materialized
+        # (the r5 first run read 0.9 ms for the dict-returning variant —
+        # not a believable 3-backbone forward; defeat any elision)
+        return sum(jnp.sum(v.astype(jnp.float32)) for v in out.values()
+                   if hasattr(v, "dtype"))
 
     @jax.jit
     def fwd_loss(params, batch_stats, batch, key):
