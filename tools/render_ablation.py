@@ -331,6 +331,19 @@ def main():
             lines.append(f"| {rung} | {x4} | "
                          f"{n9['mAP_synth_val']:.4f} | {d} |")
         lines.append("")
+        planned_9k = [r for r in ("mv_only", "full")
+                      if r in xval and r not in nine]
+        if planned_9k:
+            lines += [
+                f"(Planned but absent: {', '.join(planned_9k)} @~9k — the"
+                " rung checkpoints are gitignored and did not survive a"
+                " host recycle; the resume requires retraining the full"
+                " warm-start chain (stage-A rfcn + FlowNet pretrain)"
+                " before the rung itself, ~2.5 h of serial TPU. The"
+                " committed reports/curves above are the surviving"
+                " evidence of record.)",
+                "",
+            ]
     if ltoff is not None and "full" in xval:
         x = xval["full"]
         d = x["mAP_synth_val"] - ltoff["mAP_synth_val"]
